@@ -1,0 +1,284 @@
+"""All configuration knobs of the framework, promoted into dataclasses.
+
+The reference scatters knobs over a YAML file (`config/batch_bin_test_config.yaml`),
+compile-time macros (`CMakeLists.txt:15-21`) and hardcoded constants
+(`contour_mng.h:112-115`, `correlation.h:17-18`, `contour_db.h:160-163`).  Here every
+knob lives in one place; the hardcoded ones keep their reference defaults.
+
+Reference parity notes are given as `file:line` citations into the reference repo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Fixed-shape capacity constants for the TPU dense-array layout.
+# The reference uses variable-size std::vector everywhere; on TPU every per-scan
+# structure is a fixed-shape dense array with validity masks.  These caps bound
+# the dense axes.  They are deliberately generous; truncation beyond them is
+# counted and reported by the pipeline.
+# ---------------------------------------------------------------------------
+
+MAX_CONTOURS_PER_LEVEL = 64   # contours kept per height level (ref keeps all; sorted desc by cell count)
+MAX_NEIGHBORS = 40            # BCI neighbor stars: 4 layers x dist_firsts(10) (contour_mng.h:846-868)
+MAX_PAIR_CANDS = 256          # potential constellation pairs per BCI check (two-pointer pool)
+MAX_CSTL_PAIRS = 64           # constellation pairs kept after windowing (+1 anchor pair)
+BITS_PER_LAYER = 64           # contour_mng.h:112
+DIST_BIN_LAYERS = (1, 2, 3, 4)  # contour_mng.h:113
+LAYER_AREA_WEIGHTS = (0.3, 0.3, 0.3, 0.1)  # contour_mng.h:114
+NUM_BIN_KEY_LAYER = len(DIST_BIN_LAYERS)
+BCI_BITS = BITS_PER_LAYER * NUM_BIN_KEY_LAYER  # 256
+RET_KEY_DIM = 10              # contour_mng.h:89
+
+
+@dataclass(frozen=True)
+class ContourViewStatConfig:
+    """Per-contour statistics knobs (contour.h:32-37)."""
+    min_cell_cov: int = 4
+    point_sigma: float = 1.0
+    com_bias_thres: float = 0.5
+
+
+@dataclass(frozen=True)
+class ContourSimThresConfig:
+    """Pairwise contour similarity gate thresholds (contour.h:40-45)."""
+    ta_cell_cnt: float = 6.0
+    tp_cell_cnt: float = 0.2
+    tp_eigval: float = 0.2
+    ta_h_bar: float = 0.3      # 0.75 for MulRan
+    ta_rcom: float = 0.4
+    tp_rcom: float = 0.25
+
+
+@dataclass(frozen=True)
+class ContourManagerConfig:
+    """Per-scan BEV / contour / key extraction knobs (contour_mng.h:92-110)."""
+    lv_grads: Tuple[float, ...] = (1.5, 2.0, 2.5, 3.0, 3.5, 4.0)  # KITTI; MulRan: (1,2.5,4,5.5,7,8.5)
+    reso_row: float = 1.0
+    reso_col: float = 1.0
+    n_row: int = 150
+    n_col: int = 150
+    lidar_height: float = 2.0
+    blind_sq: float = 9.0
+    min_cont_key_cnt: int = 9
+    min_cont_cell_cnt: int = 3
+    piv_firsts: int = 6
+    dist_firsts: int = 10
+    roi_radius: float = 10.0
+    # TPU capacity knobs (not in reference; dense-table bounds)
+    max_contours: int = MAX_CONTOURS_PER_LEVEL
+    max_points: int = 131072   # point-cloud pad size (KITTI HDL-64E: ~120-130k)
+    view_stat: ContourViewStatConfig = field(default_factory=ContourViewStatConfig)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.lv_grads)
+
+
+@dataclass(frozen=True)
+class TreeBucketConfig:
+    """Temporal insertion-delay window (contour_db.h:54-57)."""
+    max_elapse: float = 25.0
+    min_elapse: float = 15.0
+
+
+@dataclass(frozen=True)
+class GMMOptConfig:
+    """GMM L2 correlation knobs (correlation.h:15-20)."""
+    min_area_perc: float = 0.95
+    levels: Tuple[int, ...] = (1, 2, 3, 4)
+    cov_dilate_scale: float = 2.0
+    # TPU capacity knobs
+    max_gmm_ellipses: int = 32   # per level, ellipses kept to reach min_area_perc
+    gn_iters: int = 10           # ceres: max_num_iterations=10 (correlation.h:215)
+
+
+# --- score ensembles --------------------------------------------------------
+# The reference packs these in unions (contour_mng.h:121-219); here plain dataclasses.
+
+@dataclass(frozen=True)
+class ScoreConstellSim:
+    """BCI constellation consensus score (contour_mng.h:121-152)."""
+    i_ovlp_sum: int = 3
+    i_ovlp_max_one: int = 3
+    i_in_ang_rng: int = 3
+
+    def overall(self) -> int:
+        return self.i_in_ang_rng
+
+
+@dataclass(frozen=True)
+class ScorePairwiseSim:
+    """Pairwise correspondence score (contour_mng.h:154-186)."""
+    i_indiv_sim: int = 3
+    i_orie_sim: int = 4
+
+    def overall(self) -> int:
+        return self.i_orie_sim
+
+
+@dataclass(frozen=True)
+class ScorePostProc:
+    """Post-processing screens (contour_mng.h:188-219)."""
+    correlation: float = 0.3
+    area_perc: float = 0.03
+    neg_est_dist: float = -5.01
+
+    def overall(self) -> float:
+        return self.correlation
+
+
+@dataclass(frozen=True)
+class CandidateScoreEnsemble:
+    """Combined check thresholds (contour_db.h:244-250)."""
+    sim_constell: ScoreConstellSim = field(default_factory=ScoreConstellSim)
+    sim_pair: ScorePairwiseSim = field(default_factory=ScorePairwiseSim)
+    sim_post: ScorePostProc = field(default_factory=ScorePostProc)
+
+
+DEFAULT_THRES_LB = CandidateScoreEnsemble(
+    sim_constell=ScoreConstellSim(3, 3, 3),
+    sim_pair=ScorePairwiseSim(3, 4),
+    sim_post=ScorePostProc(0.3, 0.03, -5.01),
+)  # batch_bin_test_config.yaml:70-78
+
+DEFAULT_THRES_UB = CandidateScoreEnsemble(
+    sim_constell=ScoreConstellSim(6, 6, 6),
+    sim_pair=ScorePairwiseSim(6, 6),
+    sim_post=ScorePostProc(0.75, 0.15, -5.0),
+)  # batch_bin_test_config.yaml:79-87
+
+
+@dataclass(frozen=True)
+class ContourDBConfig:
+    """Retrieval database knobs (contour_db.h:658-669)."""
+    nnk: int = 50
+    max_fine_opt: int = 10
+    q_levels: Tuple[int, ...] = (1, 2, 3)
+    cont_sim: ContourSimThresConfig = field(default_factory=ContourSimThresConfig)
+    tb: TreeBucketConfig = field(default_factory=TreeBucketConfig)
+    # TPU capacity knobs
+    key_capacity: int = 65536     # HBM key-matrix rows per query level (grows are a re-alloc)
+    max_check_cands: int = 128    # candidate hints compacted into the batched check cascade
+    dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Everything the end-to-end loop-closure pipeline needs."""
+    cm: ContourManagerConfig = field(default_factory=ContourManagerConfig)
+    db: ContourDBConfig = field(default_factory=ContourDBConfig)
+    gmm: GMMOptConfig = field(default_factory=GMMOptConfig)
+    thres_lb: CandidateScoreEnsemble = DEFAULT_THRES_LB
+    thres_ub: CandidateScoreEnsemble = DEFAULT_THRES_UB
+    correlation_thres: float = 0.64928  # batch_bin_test_config.yaml:66
+
+
+def mulran_pipeline_config() -> PipelineConfig:
+    """Reference MulRan operating point (batch_bin_test_config.yaml:17,31)."""
+    return PipelineConfig(
+        cm=dataclasses.replace(ContourManagerConfig(), lv_grads=(1.0, 2.5, 4.0, 5.5, 7.0, 8.5)),
+        db=dataclasses.replace(
+            ContourDBConfig(), cont_sim=dataclasses.replace(ContourSimThresConfig(), ta_h_bar=0.75)
+        ),
+    )
+
+
+def load_pipeline_config_yaml(path: str) -> Tuple[PipelineConfig, dict]:
+    """Load a reference-format YAML config (batch_bin_test.cpp:38-100).
+
+    Uses a tiny hand-rolled parser for the subset of YAML the reference uses
+    (OpenCV FileStorage style: scalar keys, one nesting level, inline lists),
+    so no YAML dependency is needed.  Returns the PipelineConfig plus a dict of
+    the IO paths (fpath_sens_gt_pose / fpath_lidar_bins / fpath_outcome_sav).
+    """
+    raw: dict = {}
+    stack: List[Tuple[int, dict]] = [(-1, raw)]
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].rstrip()
+            if not line.strip() or line.strip().startswith(("%", "---")):
+                continue
+            indent = len(line) - len(line.lstrip())
+            key, _, val = line.strip().partition(":")
+            val = val.strip()
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+            parent = stack[-1][1] if stack else raw
+            if not val:
+                child: dict = {}
+                parent[key] = child
+                stack.append((indent, child))
+            else:
+                if val.startswith("["):
+                    parent[key] = [float(x) for x in val.strip("[]").split(",") if x.strip()]
+                else:
+                    try:
+                        parent[key] = float(val) if ("." in val or "e" in val) else int(val)
+                    except ValueError:
+                        parent[key] = val.strip('"')
+
+    def g(d, k, default):
+        return d.get(k, default)
+
+    cmr = raw.get("ContourManagerConfig", {})
+    cm = ContourManagerConfig(
+        lv_grads=tuple(g(cmr, "lv_grads_", (1.5, 2, 2.5, 3, 3.5, 4))),
+        n_row=int(g(cmr, "n_row_", 150)),
+        n_col=int(g(cmr, "n_col_", 150)),
+        lidar_height=float(g(cmr, "lidar_height_", 2.0)),
+        blind_sq=float(g(cmr, "blind_sq_", 9.0)),
+        min_cont_key_cnt=int(g(cmr, "min_cont_key_cnt_", 9)),
+        min_cont_cell_cnt=int(g(cmr, "min_cont_cell_cnt_", 3)),
+        piv_firsts=int(g(cmr, "piv_firsts_", 6)),
+        dist_firsts=int(g(cmr, "dist_firsts_", 10)),
+        roi_radius=float(g(cmr, "roi_radius_", 10.0)),
+    )
+    dbr = raw.get("ContourDBConfig", {})
+    simr = dbr.get("ContourSimThresConfig", {})
+    tbr = dbr.get("TreeBucketConfig", {})
+    db = ContourDBConfig(
+        nnk=int(g(dbr, "nnk_", 50)),
+        max_fine_opt=int(g(dbr, "max_fine_opt_", 10)),
+        q_levels=tuple(int(x) for x in g(dbr, "q_levels_", (1, 2, 3))),
+        cont_sim=ContourSimThresConfig(
+            ta_cell_cnt=float(g(simr, "ta_cell_cnt", 6.0)),
+            tp_cell_cnt=float(g(simr, "tp_cell_cnt", 0.2)),
+            tp_eigval=float(g(simr, "tp_eigval", 0.2)),
+            ta_h_bar=float(g(simr, "ta_h_bar", 0.3)),
+            ta_rcom=float(g(simr, "ta_rcom", 0.4)),
+            tp_rcom=float(g(simr, "tp_rcom", 0.25)),
+        ),
+        tb=TreeBucketConfig(
+            max_elapse=float(g(tbr, "max_elapse_", 25.0)),
+            min_elapse=float(g(tbr, "min_elapse_", 15.0)),
+        ),
+    )
+
+    def ens(d) -> CandidateScoreEnsemble:
+        return CandidateScoreEnsemble(
+            sim_constell=ScoreConstellSim(
+                int(d.get("i_ovlp_sum", 3)), int(d.get("i_ovlp_max_one", 3)), int(d.get("i_in_ang_rng", 3))
+            ),
+            sim_pair=ScorePairwiseSim(int(d.get("i_indiv_sim", 3)), int(d.get("i_orie_sim", 4))),
+            sim_post=ScorePostProc(
+                float(d.get("correlation", 0.3)),
+                float(d.get("area_perc", 0.03)),
+                float(d.get("neg_est_dist", -5.01)),
+            ),
+        )
+
+    cfg = PipelineConfig(
+        cm=cm,
+        db=db,
+        thres_lb=ens(raw.get("thres_lb_", {})),
+        thres_ub=ens(raw.get("thres_ub_", {})),
+        correlation_thres=float(g(raw, "correlation_thres", 0.64928)),
+    )
+    io_paths = {
+        k: raw.get(k) for k in ("fpath_sens_gt_pose", "fpath_lidar_bins", "fpath_outcome_sav") if k in raw
+    }
+    return cfg, io_paths

@@ -1,0 +1,237 @@
+"""Host-side data plane: KITTI/MulRan `.bin` readers and the two-file dataset format.
+
+Reference behaviors:
+- `.bin` reader: raw float32 x 4 (x, y, z, reflectance) -> xyz (pointcloud_util.h:11-50).
+- dataset format (evaluator.h:47-52):
+    file 1: `ts r00 r01 r02 tx r10 r11 r12 ty r20 r21 r22 tz` per line (sensor gt pose)
+    file 2: `ts seq bin_path` per line, ordered by ts AND seq.
+- format generators for KITTI odometry and MulRan (gen_batch_bin_configs.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+
+def read_kitti_bin(path: str, max_points: Optional[int] = None) -> np.ndarray:
+    """Read a KITTI-format `.bin` scan -> (N, 3) float32 xyz.
+
+    Equivalent to readKITTIPointCloudBin (pointcloud_util.h:12-50): the file is a
+    flat float32 array with stride 4 (x, y, z, reflectance); reflectance dropped.
+    """
+    data = np.fromfile(path, dtype=np.float32)
+    n = data.size // 4
+    pts = data[: n * 4].reshape(n, 4)[:, :3]
+    if max_points is not None and n > max_points:
+        pts = pts[:max_points]
+    return np.ascontiguousarray(pts)
+
+
+def pad_points(pts: np.ndarray, max_points: int) -> np.ndarray:
+    """Pad an (N,3) cloud to (max_points, 4): xyz + validity flag in column 3.
+
+    Fixed shapes keep the descriptor jit-compiled once.  Padding rows carry a
+    position far outside the BEV so they also fail the bounds check.
+    """
+    out = np.zeros((max_points, 4), dtype=np.float32)
+    n = min(len(pts), max_points)
+    out[:n, :3] = pts[:n]
+    out[:n, 3] = 1.0
+    out[n:, 0] = 1e6
+    return out
+
+
+@dataclass
+class LaserScanInfo:
+    """One scan with its associated gt pose (evaluator.h:54-62)."""
+    seq: int
+    ts: float
+    fpath: str
+    sens_pose: np.ndarray  # (4, 4) float64, T_w_sensor
+    has_gt_positive_lc: bool = False
+
+
+def load_gt_poses(fpath_pose: str):
+    """Parse the 13-float-per-line gt pose file, sorted by ts (evaluator.h:97-137)."""
+    raw = np.loadtxt(fpath_pose, dtype=np.float64)
+    if raw.ndim == 1:
+        raw = raw[None, :]
+    assert raw.shape[1] == 13, f"expect 13 cols, got {raw.shape[1]}"
+    order = np.argsort(raw[:, 0], kind="stable")
+    raw = raw[order]
+    tss = raw[:, 0]
+    poses = np.tile(np.eye(4), (len(raw), 1, 1))
+    poses[:, :3, :4] = raw[:, 1:].reshape(-1, 3, 4)
+    # orthonormalize like Eigen::Quaterniond round-trip (evaluator.h:119-123)
+    u, _, vt = np.linalg.svd(poses[:, :3, :3])
+    poses[:, :3, :3] = u @ vt
+    return tss, poses
+
+
+def load_scan_list(fpath_laser: str):
+    """Parse the `ts seq bin_path` scan-list file (evaluator.h:150-169)."""
+    tss: List[float] = []
+    seqs: List[int] = []
+    paths: List[str] = []
+    with open(fpath_laser) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            tss.append(float(parts[0]))
+            seqs.append(int(parts[1]))
+            paths.append(parts[2])
+    return np.asarray(tss), np.asarray(seqs), paths
+
+
+def associate_scans_with_gt(
+    fpath_pose: str,
+    fpath_laser: str,
+    ts_diff_tol: float = 10e-3,
+    min_time_excl: float = 15.0,
+    gt_dist_thres: float = 5.0,
+) -> List[LaserScanInfo]:
+    """Associate each scan with the nearest-ts gt pose and mark gt-positive scans.
+
+    Parity with ContLCDEvaluator's constructor (evaluator.h:83-261):
+    - scans without a gt pose within ts_diff_tol are dropped;
+    - a scan is gt-positive iff an earlier scan >= min_time_excl older lies
+      within gt_dist_thres meters (evaluator.h:243-259).
+    """
+    gt_tss, gt_poses = load_gt_poses(fpath_pose)
+    lidar_ts, seqs, paths = load_scan_list(fpath_laser)
+
+    infos: List[LaserScanInfo] = []
+    for i in range(len(lidar_ts)):
+        j = np.searchsorted(gt_tss, lidar_ts[i])
+        best, bestd = -1, np.inf
+        for k in (j - 1, j):
+            if 0 <= k < len(gt_tss):
+                d = abs(gt_tss[k] - lidar_ts[i])
+                if d < bestd:
+                    best, bestd = k, d
+        if best < 0 or bestd > ts_diff_tol:
+            continue
+        infos.append(LaserScanInfo(seq=int(seqs[i]), ts=float(lidar_ts[i]), fpath=paths[i],
+                                   sens_pose=gt_poses[best]))
+
+    # gt loop-closure positives (vectorized version of evaluator.h:243-259)
+    if infos:
+        pos = np.stack([s.sens_pose[:3, 3] for s in infos])
+        ts = np.array([s.ts for s in infos])
+        for i in range(len(infos)):
+            elig = ts < ts[i] - min_time_excl
+            if not elig.any():
+                continue
+            d = np.linalg.norm(pos[elig] - pos[i], axis=1)
+            if (d < gt_dist_thres).any():
+                infos[i].has_gt_positive_lc = True
+    return infos
+
+
+# ---------------------------------------------------------------------------
+# Dataset-format generators (parity with scripts/gen_batch_bin_configs.py)
+# ---------------------------------------------------------------------------
+
+def _rot_xyz(roll_deg: float, pitch_deg: float, yaw_deg: float) -> np.ndarray:
+    """Rz(yaw) * Ry(pitch) @ Rx(roll), angles in degrees.
+
+    NOTE: the reference uses `rotz(yaw) * roty(pitch) @ rotx(roll)` where the
+    first `*` on np.ndarray is ELEMENTWISE (gen_batch_bin_configs.py:44).  We
+    reproduce that exact arithmetic for byte-level parity of generated files.
+    """
+    def rx(t):
+        c, s = np.cos(t), np.sin(t)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    def ry(t):
+        c, s = np.cos(t), np.sin(t)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rz(t):
+        c, s = np.cos(t), np.sin(t)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    d = np.pi / 180.0
+    return rz(yaw_deg * d) * ry(pitch_deg * d) @ rx(roll_deg * d)
+
+
+MULRAN_LIDAR_TO_BASE_6D = (1.7042, -0.021, 1.8047, 0.0001, 0.0003, 179.6654)
+
+
+def gen_mulran_dataset(dir_bins: str, f_global_pose: str, sav_pos: str, sav_lid: str) -> None:
+    """Format a MulRan sequence into the two-file input format.
+
+    Parity with gen_mulran (gen_batch_bin_configs.py:12-98): poses are re-based to
+    the first lidar frame via the (quirky, see _rot_xyz) base->lidar calibration.
+    """
+    se3 = MULRAN_LIDAR_TO_BASE_6D
+    rot = _rot_xyz(se3[3], se3[4], se3[5])
+    T_lb = np.eye(4)
+    T_lb[:3, :3] = rot
+    T_lb[:3, 3] = se3[:3]
+
+    tss, poses = [], []
+    T_wl0_inv = None
+    with open(f_global_pose) as cf:
+        for row in cf:
+            parts = row.strip().split(",")
+            if len(parts) != 13:
+                continue
+            try:
+                ts_sec = float(parts[0]) * 1e-9
+                tf12 = np.array([float(a) for a in parts[1:]])
+            except ValueError:
+                continue
+            T_wb = np.vstack([tf12.reshape(3, 4), [0, 0, 0, 1]])
+            T_wl = T_wb @ np.linalg.inv(T_lb)
+            if T_wl0_inv is None:
+                T_wl0_inv = np.linalg.inv(T_wl)
+            T = T_wl0_inv @ T_wl
+            tss.append(ts_sec)
+            poses.append(T[:3, :].reshape(-1))
+    dat = np.hstack([np.array(tss).reshape(-1, 1), np.vstack(poses)])
+    np.savetxt(sav_pos, dat, "%.6f")
+
+    bins = sorted(f for f in os.listdir(dir_bins) if f.endswith(".bin"))
+    with open(sav_lid, "w") as f1:
+        f1.write("\n".join(
+            "%.6f %d %s" % (int(fn.split(".")[0]) * 1e-9, i, os.path.join(dir_bins, fn))
+            for i, fn in enumerate(bins)))
+
+
+def gen_kitti_dataset(dir_bins: str, f_pose: str, f_times: str, f_calib: str,
+                      sav_pos: str, sav_lid: str, addr_bin_beg: int = 0) -> None:
+    """Format KITTI odometry (SemanticKITTI poses + calib) into the two-file format.
+
+    Parity with gen_kitti (gen_batch_bin_configs.py:101-159): gt sensor pose =
+    T_leftcam_pose @ T_leftcam_velod per scan, timestamps from times.txt.
+    """
+    bins = sorted(
+        os.path.join(dir_bins, f) for f in os.listdir(dir_bins) if f.endswith(".bin"))
+    times = np.loadtxt(f_times)
+    poses_cam = np.loadtxt(f_pose).reshape(-1, 3, 4)
+
+    T_cv = np.eye(4)
+    with open(f_calib) as f:
+        for line in f:
+            if line.startswith("Tr:"):
+                T_cv[:3, :4] = np.array([float(x) for x in line.split()[1:]]).reshape(3, 4)
+                break
+
+    n = min(len(times), len(poses_cam), len(bins) - addr_bin_beg)
+    lines_pos, lines_lid = [], []
+    for i in range(n):
+        T_cam = np.vstack([poses_cam[i], [0, 0, 0, 1]])
+        T_velo = T_cam @ T_cv  # velodyne pose in cam0-world frame
+        vals = " ".join("%.6f" % v for v in T_velo[:3, :4].reshape(-1))
+        lines_pos.append("%.6f %s" % (times[i], vals))
+        lines_lid.append("%.6f %d %s" % (times[i], i, bins[i + addr_bin_beg]))
+    with open(sav_pos, "w") as f:
+        f.write("\n".join(lines_pos))
+    with open(sav_lid, "w") as f:
+        f.write("\n".join(lines_lid))
