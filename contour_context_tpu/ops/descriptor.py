@@ -1,0 +1,443 @@
+"""Per-scan descriptor pipeline on device: points -> ScanDesc, one jitted fn.
+
+TPU-first design replacing the reference's per-scan hot path
+(makeBEV + makeContoursRecurs, contour_mng.h:505-960, ~9 ms single-thread C++):
+
+- BEV rasterization = scatter-max with an argmax payload (first-wins ties).
+- Hierarchical contour extraction = per-level connected components via
+  min-label propagation (3x3 reduce_window) + pointer jumping, with parent
+  validity chaining replacing the recursion's masking; moments via two-pass
+  scatter-add (numerically stable centered covariance).
+- Retrieval keys = dense masked ring-histogram (a (P_pix, 35) Gaussian kernel
+  evaluation batched over all 36 anchors at once).
+- BCIs = fixed-size neighbor tables + masked sorts.
+
+Everything is fixed-shape; the whole function compiles once under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from contour_context_tpu.config import (
+    BITS_PER_LAYER,
+    DIST_BIN_LAYERS,
+    NUM_BIN_KEY_LAYER,
+    RET_KEY_DIM,
+    ContourManagerConfig,
+    GMMOptConfig,
+)
+from contour_context_tpu.types import ScanDesc
+
+VAL_ABS_INF = 1e3
+N_PIX_POOL = 4096   # compacted pool of above-gate pixels used by the ring key
+
+
+# ---------------------------------------------------------------------------
+# 1. BEV rasterization (contour_mng.h:505-556)
+# ---------------------------------------------------------------------------
+
+def rasterize_bev(points: jnp.ndarray, cfg: ContourManagerConfig):
+    """points (P, 4) [x y z valid] -> (bev, rowf, colf) each (n_row*n_col,) f32.
+
+    Per-pixel max of (z + lidar_height); payload = continuous (row, col) of the
+    first point (in array order) achieving the max, matching the reference's
+    strict `<` update rule.
+    """
+    nr, nc = cfg.n_row, cfg.n_col
+    S = nr * nc
+    x, y, z, flag = points[:, 0], points[:, 1], points[:, 2], points[:, 3]
+    pad = 1e-2
+    x_min, x_max = -(nr // 2) * cfg.reso_row, (nr // 2) * cfg.reso_row
+    y_min, y_max = -(nc // 2) * cfg.reso_col, (nc // 2) * cfg.reso_col
+    ok = (
+        (flag > 0)
+        & (x >= x_min + pad) & (x <= x_max - pad)
+        & (y >= y_min + pad) & (y <= y_max - pad)
+        & (x * x + y * y >= cfg.blind_sq)
+    )
+    row = jnp.floor(x / cfg.reso_row).astype(jnp.int32) + nr // 2
+    col = jnp.floor(y / cfg.reso_col).astype(jnp.int32) + nc // 2
+    ok &= row > 0  # reference quirk: row 0 dropped (contour_mng.h:515)
+    pid = jnp.where(ok, row * nc + col, S).astype(jnp.int32)
+    h = z + cfg.lidar_height
+
+    bev = jnp.full(S + 1, -VAL_ABS_INF, jnp.float32).at[pid].max(
+        jnp.where(ok, h, -VAL_ABS_INF))
+    # winner = min point index among points matching the pixel max (first wins)
+    P = points.shape[0]
+    is_max = ok & (h >= bev[pid])
+    win = jnp.full(S + 1, P, jnp.int32).at[pid].min(
+        jnp.where(is_max, jnp.arange(P, dtype=jnp.int32), P))
+    has = win[:S] < P
+    wid = jnp.minimum(win[:S], P - 1)
+    rowf = jnp.where(has, x[wid] / cfg.reso_row + nr / 2 - 0.5, -1.0)
+    colf = jnp.where(has, y[wid] / cfg.reso_col + nc / 2 - 0.5, -1.0)
+    return bev[:S], rowf.astype(jnp.float32), colf.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# 2. Connected components per level (contour_mng.cpp:274-353 equivalent)
+# ---------------------------------------------------------------------------
+
+def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
+    """masks (L, nr, nc) bool -> labels (L, nr*nc) int32.
+
+    8-connected components labeled by the component's minimum linear pixel
+    index; background = S (= nr*nc). Min-label propagation over a 3x3 window
+    with two pointer-jumping steps per iteration; lax.while_loop to fixpoint.
+    """
+    L, nr, nc = masks.shape
+    S = nr * nc
+    lin = jnp.arange(S, dtype=jnp.int32).reshape(nr, nc)
+    labels0 = jnp.where(masks, lin[None], S)
+
+    def body(state):
+        lab, _ = state
+        neigh = lax.reduce_window(
+            lab, jnp.int32(S), lax.min,
+            window_dimensions=(1, 3, 3), window_strides=(1, 1, 1), padding="SAME")
+        new = jnp.where(masks, jnp.minimum(lab, neigh), S)
+        flat = new.reshape(L, S)
+        for _ in range(2):  # pointer jumping: label <- label[label]
+            ext = jnp.concatenate([flat, jnp.full((L, 1), S, jnp.int32)], axis=1)
+            flat = jnp.take_along_axis(ext, flat, axis=1)
+        new = flat.reshape(L, nr, nc)
+        return new, jnp.any(new != lab)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    return labels.reshape(L, S)
+
+
+def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
+                     bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
+                     cfg: ContourManagerConfig):
+    """Per-level top-K contour stats tables from CC labels.
+
+    Returns dict of (L, K) arrays (see ScanDesc) plus layer_cell_cnt / n_cont.
+    Validity chain: a component is valid iff cell count >= min_cont_cell_cnt
+    and its parent component at the previous level is valid (the recursion
+    cut-off at contour_mng.cpp:304).
+    """
+    L = labels.shape[0]
+    S = bev.shape[0]
+    K = cfg.max_contours
+    sc = cfg.view_stat
+
+    def seg_sum(vals, lab):
+        return jnp.zeros(S + 1, jnp.float32).at[lab].add(vals)
+
+    cnt_f = jax.vmap(lambda lab, m: seg_sum(m.astype(jnp.float32), lab))(labels, masks_flat)
+    cnt = cnt_f.astype(jnp.int32)                      # (L, S+1)
+
+    # validity chain across levels
+    valid_full = []
+    min_ok = cnt >= cfg.min_cont_cell_cnt
+    for ll in range(L):
+        if ll == 0:
+            valid_full.append(min_ok[0])
+        else:
+            parent_ext = jnp.concatenate([labels[ll - 1], jnp.array([S], jnp.int32)])
+            prev_ext = jnp.concatenate([valid_full[-1], jnp.array([False])])
+            # label value v is a pixel index; its parent component = labels[l-1][v]
+            valid_full.append(min_ok[ll] & prev_ext[parent_ext])
+    valid_full = jnp.stack(valid_full)                 # (L, S+1)
+
+    layer_cell_cnt = jnp.sum(jnp.where(valid_full, cnt, 0), axis=1)  # (L,)
+    n_cont = jnp.sum(valid_full, axis=1).astype(jnp.int32)
+
+    # top-K by (cell count desc, min pixel asc); slot id = label value (pixel)
+    slot_pen = (1 << 15) - 1 - jnp.arange(S + 1, dtype=jnp.int32)
+    composite = jnp.where(valid_full, cnt * (1 << 15) + slot_pen[None], -1)
+    top_vals, top_idx = lax.top_k(composite, K)        # (L, K)
+    sel_valid = top_vals > 0
+    rep = jnp.where(sel_valid, top_idx, S)             # label value of the slot
+
+    # first-pass sums
+    def level_sums(lab, m, extra):
+        mf = m.astype(jnp.float32)
+        return (
+            seg_sum(jnp.where(m, rowf, 0.0), lab),
+            seg_sum(jnp.where(m, colf, 0.0), lab),
+            seg_sum(jnp.where(m, bev, 0.0), lab),
+            seg_sum(jnp.where(m, bev * rowf, 0.0), lab),
+            seg_sum(jnp.where(m, bev * colf, 0.0), lab),
+        )
+
+    s_r, s_c, s_h, s_hr, s_hc = jax.vmap(level_sums, in_axes=(0, 0, None))(
+        labels, masks_flat, None)
+
+    cntf_safe = jnp.maximum(cnt_f, 1.0)
+    mean_r_full = s_r / cntf_safe
+    mean_c_full = s_c / cntf_safe
+
+    # second pass: centered second moments (stable covariance)
+    def level_c2(lab, m, mr, mc):
+        ext_mr = jnp.concatenate([mr, jnp.zeros(1, jnp.float32)])
+        ext_mc = jnp.concatenate([mc, jnp.zeros(1, jnp.float32)])
+        dr = jnp.where(m, rowf - ext_mr[lab], 0.0)
+        dc = jnp.where(m, colf - ext_mc[lab], 0.0)
+        return (seg_sum(dr * dr, lab), seg_sum(dr * dc, lab), seg_sum(dc * dc, lab))
+
+    # note: ext arrays indexed by label need size S+1; mean_*_full already S+1
+    def level_c2_fixed(lab, m, mr, mc):
+        dr = jnp.where(m, rowf - mr[lab], 0.0)
+        dc = jnp.where(m, colf - mc[lab], 0.0)
+        return (seg_sum(dr * dr, lab), seg_sum(dr * dc, lab), seg_sum(dc * dc, lab))
+
+    c_rr, c_rc, c_cc = jax.vmap(level_c2_fixed)(labels, masks_flat,
+                                                mean_r_full, mean_c_full)
+
+    def gather(a):  # (L, S+1) -> (L, K)
+        return jnp.take_along_axis(a, jnp.minimum(rep, S), axis=1)
+
+    g_cnt = jnp.where(sel_valid, gather(cnt), 0)
+    g_n = jnp.maximum(g_cnt, 1).astype(jnp.float32)
+    g_mean = jnp.stack([gather(mean_r_full), gather(mean_c_full)], axis=-1)
+    g_vol3 = gather(s_h)
+    g_com = jnp.stack([gather(s_hr), gather(s_hc)], axis=-1) / \
+        jnp.maximum(g_vol3, 1e-12)[..., None]
+    g_vol3_mean = g_vol3 / g_n
+
+    nm1 = jnp.maximum(g_n - 1.0, 1.0)
+    a = gather(c_rr) / nm1
+    b = gather(c_rc) / nm1
+    c = gather(c_cc) / nm1
+
+    # closed-form symmetric 2x2 eigendecomposition (ascending)
+    m = 0.5 * (a + c)
+    d = 0.5 * (a - c)
+    disc = jnp.sqrt(d * d + b * b)
+    l0 = m - disc
+    l1 = m + disc
+    use_b = jnp.abs(b) > 1e-12
+    v1r = jnp.where(use_b, b, jnp.where(a >= c, 1.0, 0.0))
+    v1c = jnp.where(use_b, l1 - a, jnp.where(a >= c, 0.0, 1.0))
+    nrm = jnp.sqrt(v1r * v1r + v1c * v1c)
+    v1r, v1c = v1r / nrm, v1c / nrm
+    # columns: [minor, major]
+    eig_vecs = jnp.stack([
+        jnp.stack([-v1c, v1r], axis=-1),
+        jnp.stack([v1r, v1c], axis=-1),
+    ], axis=-1)  # (..., 2 rows, 2 cols)
+
+    small = g_cnt < sc.min_cell_cov
+    sig2 = sc.point_sigma ** 2
+    l0 = jnp.where(small, sc.point_sigma, jnp.maximum(l0, sc.point_sigma))
+    l1 = jnp.where(small, sc.point_sigma, jnp.maximum(l1, sc.point_sigma))
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), eig_vecs.shape)
+    eig_vecs = jnp.where(small[..., None, None], eye, eig_vecs)
+    eig_vals = jnp.stack([l0, l1], axis=-1)
+
+    # manual cov = V diag(eig) V^T (contour.h:376-378)
+    manual_cov = jnp.einsum("...ij,...j,...kj->...ik", eig_vecs, eig_vals, eig_vecs)
+
+    # eccentricitySalient (contour.h:258-260)
+    perc = jnp.abs((l0 - l1) / jnp.maximum(l0, l1))
+    ecc_feat = (~small) & (g_cnt > 5) & (perc > 0.2) & (l1 > 2.5)
+
+    com_r = jnp.linalg.norm(g_com - g_mean, axis=-1)
+    cont_perc = g_cnt.astype(jnp.float32) / jnp.maximum(
+        layer_cell_cnt.astype(jnp.float32), 1.0)[:, None]
+
+    return dict(
+        cnt=g_cnt, valid=sel_valid, mean=g_mean, eig_vals=eig_vals,
+        eig_vecs=eig_vecs, manual_cov=manual_cov, vol3_mean=g_vol3_mean,
+        com_r=com_r.astype(jnp.float32), ecc_feat=ecc_feat,
+        cont_perc=cont_perc, layer_cell_cnt=layer_cell_cnt, n_cont=n_cont,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Retrieval keys (contour_mng.h:689-830)
+# ---------------------------------------------------------------------------
+
+def make_keys(tab: dict, bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
+              cfg: ContourManagerConfig):
+    """(L, A, 10) retrieval keys, zero for invalid anchors."""
+    L = cfg.n_levels
+    A = cfg.piv_firsts
+    nr, nc = cfg.n_row, cfg.n_col
+    S = nr * nc
+    num_bins = RET_KEY_DIM - 3
+    bin_len = cfg.roi_radius / num_bins
+    div_per_bin = 5
+    div_len = cfg.roi_radius / (num_bins * div_per_bin)
+    div_centers = (jnp.arange(num_bins * div_per_bin, dtype=jnp.float32)
+                   * div_len + 0.5 * div_len)
+    roi_pad = int(math.ceil(cfg.roi_radius + 1))
+    h_gate = cfg.lv_grads[DIST_BIN_LAYERS[0]]
+
+    # compact the above-gate pixel pool to a fixed size
+    pvalid = bev > h_gate
+    order = jnp.argsort(~pvalid, stable=True)[:N_PIX_POOL]
+    p_ok = pvalid[order]
+    p_r = (order // nc).astype(jnp.int32)
+    p_c = (order % nc).astype(jnp.int32)
+    p_rowf = rowf[order]
+    p_colf = colf[order]
+    p_h = bev[order]
+    higher = jnp.zeros(N_PIX_POOL, jnp.float32)
+    for ele in range(DIST_BIN_LAYERS[0], L):
+        higher += (p_h > cfg.lv_grads[ele]).astype(jnp.float32)
+
+    # anchors: (L, A)
+    cnt = tab["cnt"][:, :A]
+    anch_valid = tab["valid"][:, :A] & (cnt >= cfg.min_cont_key_cnt)
+    mean = tab["mean"][:, :A]                           # (L, A, 2)
+    accum = jnp.cumsum(cnt, axis=1).astype(jnp.float32)
+
+    v0 = mean[..., 0].reshape(-1)                       # (L*A,)
+    v1 = mean[..., 1].reshape(-1)
+    r_cen = v0.astype(jnp.int32)                        # C trunc-toward-zero
+    c_cen = v1.astype(jnp.int32)
+    r_min = jnp.maximum(0, r_cen - roi_pad)[:, None]
+    r_max = jnp.minimum(nr - 1, r_cen + roi_pad)[:, None]
+    c_min = jnp.maximum(0, c_cen - roi_pad)[:, None]
+    c_max = jnp.minimum(nc - 1, c_cen + roi_pad)[:, None]
+    in_box = ((p_r[None] >= r_min) & (p_r[None] <= r_max)
+              & (p_c[None] >= c_min) & (p_c[None] <= c_max))
+    dist = jnp.sqrt((p_rowf[None] - v0[:, None]) ** 2
+                    + (p_colf[None] - v1[:, None]) ** 2)   # (L*A, P)
+    contrib = in_box & (dist < cfg.roi_radius - 1e-2) & p_ok[None]
+    w = jnp.where(contrib, higher[None], 0.0)
+    cnt_point = contrib.sum(axis=1).astype(jnp.float32)
+
+    # (L*A, P, D) gaussian kernel, summed over pixels
+    g = jnp.exp(-0.5 * (div_centers[None, None, :] - dist[..., None]) ** 2) \
+        / math.sqrt(2 * math.pi)
+    divs = jnp.einsum("ap,apd->ad", w, g)               # (L*A, 35)
+    ring = divs.reshape(-1, num_bins, div_per_bin).sum(-1)
+    ring = jnp.where(cnt_point[:, None] > 0,
+                     ring * bin_len / jnp.sqrt(jnp.maximum(cnt_point, 1.0))[:, None],
+                     0.0)
+
+    k0 = jnp.sqrt(tab["eig_vals"][:, :A, 1] * cnt.astype(jnp.float32))
+    k1 = jnp.sqrt(tab["eig_vals"][:, :A, 0] * cnt.astype(jnp.float32))
+    k2 = jnp.sqrt(accum)
+    keys = jnp.concatenate([
+        jnp.stack([k0, k1, k2], axis=-1),
+        ring.reshape(L, A, num_bins),
+    ], axis=-1)
+    keys = jnp.where(anch_valid[..., None], keys, 0.0)
+    return keys.astype(jnp.float32), anch_valid
+
+
+# ---------------------------------------------------------------------------
+# 4. BCIs (contour_mng.h:846-883)
+# ---------------------------------------------------------------------------
+
+def make_bcis(tab: dict, anch_valid: jnp.ndarray, cfg: ContourManagerConfig):
+    L = cfg.n_levels
+    A = cfg.piv_firsts
+    J = cfg.dist_firsts
+    M = NUM_BIN_KEY_LAYER * J  # 40 slots in generation order (bl, j)
+
+    mean = tab["mean"]                                  # (L, K, 2)
+    n_cont = tab["n_cont"]                              # (L,)
+
+    anchor_mean = mean[:, :A]                           # (L, A, 2)
+    lay_idx = jnp.array(DIST_BIN_LAYERS, jnp.int32)     # (4,)
+    nei_mean = mean[lay_idx][:, :J]                     # (4, J, 2)
+    nei_exists = (jnp.arange(J)[None, :] <
+                  jnp.minimum(J, n_cont[lay_idx])[:, None])  # (4, J)
+
+    # (L, A, 4, J, 2)
+    vec = nei_mean[None, None] - anchor_mean[:, :, None, None]
+    d = jnp.sqrt((vec ** 2).sum(-1))
+    theta = jnp.arctan2(vec[..., 1], vec[..., 0])
+    d_hi = (BITS_PER_LAYER - 1) * 1.01 + 5.43 - 1e-3
+    in_rng = (d > 5.43) & (d <= d_hi)
+    ll_ar = jnp.arange(L, dtype=jnp.int32)
+    seq_ar = jnp.arange(A, dtype=jnp.int32)
+    is_self = (lay_idx[None, None, :, None] == ll_ar[:, None, None, None]) & \
+              (jnp.arange(J, dtype=jnp.int32)[None, None, None, :] == seq_ar[None, :, None, None])
+    valid = nei_exists[None, None] & in_rng & (~is_self) & anch_valid[..., None, None]
+    bit_local = jnp.minimum(jnp.floor((d - 5.43) / 1.01), BITS_PER_LAYER - 1.0)
+    bit = bit_local.astype(jnp.int32) + \
+        (jnp.arange(NUM_BIN_KEY_LAYER, dtype=jnp.int32) * BITS_PER_LAYER)[None, None, :, None]
+
+    nei_level = jnp.broadcast_to(lay_idx[None, None, :, None], valid.shape)
+    nei_seq = jnp.broadcast_to(jnp.arange(J, dtype=jnp.int32)[None, None, None, :], valid.shape)
+
+    def flat(x):
+        return x.reshape(L, A, M)
+
+    valid, bit, theta, nei_level, nei_seq = map(flat, (valid, bit, theta, nei_level, nei_seq))
+
+    # sort by (bit, generation slot), invalid at the end
+    slot = jnp.arange(M, dtype=jnp.int32)[None, None, :]
+    sort_key = jnp.where(valid, bit * M + slot, jnp.int32(1 << 20))
+    order = jnp.argsort(sort_key, axis=-1)
+    take = lambda x: jnp.take_along_axis(x, order, axis=-1)
+    return dict(
+        nei_valid=take(valid), nei_level=take(nei_level), nei_seq=take(nei_seq),
+        nei_bit=jnp.where(take(valid), take(bit), 256),
+        nei_theta=take(theta).astype(jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. GMM summary (correlation.h:49-122)
+# ---------------------------------------------------------------------------
+
+def gmm_summary(tab: dict, gmm_cfg: GMMOptConfig):
+    cnt = tab["cnt"].astype(jnp.float32)
+    valid = tab["valid"]
+    lcc = jnp.maximum(tab["layer_cell_cnt"].astype(jnp.float32), 1.0)
+    ex_cum = jnp.cumsum(cnt, axis=1) - cnt
+    gmm_mask = valid & (ex_cum / lcc[:, None] < gmm_cfg.min_area_perc)
+
+    lev = jnp.array(gmm_cfg.levels, jnp.int32)
+    mus = tab["mean"][lev]          # (G, K, 2)
+    covs = tab["manual_cov"][lev]   # (G, K, 2, 2)
+    ws = jnp.where(gmm_mask[lev], cnt[lev], 0.0)
+
+    S = gmm_cfg.cov_dilate_scale * (covs[:, :, None] + covs[:, None, :])
+    det = S[..., 0, 0] * S[..., 1, 1] - S[..., 0, 1] * S[..., 1, 0]
+    dmu = mus[:, :, None] - mus[:, None, :]
+    # closed-form inverse quadratic form
+    q = (S[..., 1, 1] * dmu[..., 0] ** 2 - 2 * S[..., 0, 1] * dmu[..., 0] * dmu[..., 1]
+         + S[..., 0, 0] * dmu[..., 1] ** 2) / jnp.maximum(det, 1e-12)
+    val = ws[:, :, None] * ws[:, None, :] * jax.lax.rsqrt(jnp.maximum(det, 1e-12)) \
+        * jnp.exp(-0.5 * q)
+    auto_corr = val.sum()
+    return gmm_mask, auto_corr.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gmm_cfg"))
+def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
+                     gmm_cfg: GMMOptConfig = GMMOptConfig()) -> ScanDesc:
+    """points (P, 4) [x y z valid] -> ScanDesc. Jit-compiled once per shape."""
+    nr, nc = cfg.n_row, cfg.n_col
+    bev, rowf, colf = rasterize_bev(points, cfg)
+    grads = jnp.array(cfg.lv_grads, jnp.float32)
+    masks = (bev.reshape(nr, nc)[None] > grads[:, None, None])
+    labels = cc_labels(masks)
+    tab = component_tables(labels, masks.reshape(cfg.n_levels, -1),
+                           bev, rowf, colf, cfg)
+    keys, anch_valid = make_keys(tab, bev, rowf, colf, cfg)
+    bci = make_bcis(tab, anch_valid, cfg)
+    gmm_mask, auto_corr = gmm_summary(tab, gmm_cfg)
+    return ScanDesc(
+        cnt=tab["cnt"], valid=tab["valid"], mean=tab["mean"],
+        eig_vals=tab["eig_vals"], eig_vecs=tab["eig_vecs"],
+        manual_cov=tab["manual_cov"], vol3_mean=tab["vol3_mean"],
+        com_r=tab["com_r"], ecc_feat=tab["ecc_feat"], cont_perc=tab["cont_perc"],
+        layer_cell_cnt=tab["layer_cell_cnt"], n_cont=tab["n_cont"],
+        keys=keys, nei_valid=bci["nei_valid"], nei_level=bci["nei_level"],
+        nei_seq=bci["nei_seq"], nei_bit=bci["nei_bit"], nei_theta=bci["nei_theta"],
+        gmm_mask=gmm_mask, auto_corr=auto_corr,
+    )

@@ -1,0 +1,43 @@
+"""Fixed-shape per-scan descriptor pytree (the TPU replacement of ContourManager).
+
+The reference keeps per-scan data in ragged std::vector structures
+(contour_mng.h:426-436); here everything is a dense fixed-shape array with
+validity masks so the whole descriptor + query path compiles once under jit.
+
+Shapes (L = number of height levels, K = max contours/level, A = anchors/level,
+M = max BCI neighbors):
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class ScanDesc(NamedTuple):
+    """One scan's full descriptor: contour table + keys + BCIs + GMM summary."""
+    # contour table, sorted per level by (cell count desc, min pixel asc)
+    cnt: jnp.ndarray          # (L, K) int32   cell count (0 when slot invalid)
+    valid: jnp.ndarray        # (L, K) bool
+    mean: jnp.ndarray         # (L, K, 2) f32  continuous (row, col)
+    eig_vals: jnp.ndarray     # (L, K, 2) f32  ascending, clamped at point_sigma
+    eig_vecs: jnp.ndarray     # (L, K, 2, 2) f32 columns = eigenvectors
+    manual_cov: jnp.ndarray   # (L, K, 2, 2) f32 V diag(eig) V^T (contour.h:376-378)
+    vol3_mean: jnp.ndarray    # (L, K) f32
+    com_r: jnp.ndarray        # (L, K) f32     ||com - mean||
+    ecc_feat: jnp.ndarray     # (L, K) bool
+    cont_perc: jnp.ndarray    # (L, K) f32     cell_cnt / layer_cell_cnt
+    layer_cell_cnt: jnp.ndarray  # (L,) int32
+    n_cont: jnp.ndarray       # (L,) int32     number of valid contours
+    # retrieval keys (contour_mng.h:689-895)
+    keys: jnp.ndarray         # (L, A, 10) f32 zero when anchor invalid
+    # BCI neighbor constellation, sorted by (bit, generation order)
+    nei_valid: jnp.ndarray    # (L, A, M) bool
+    nei_level: jnp.ndarray    # (L, A, M) int32
+    nei_seq: jnp.ndarray      # (L, A, M) int32
+    nei_bit: jnp.ndarray      # (L, A, M) int32 (0..255; 256 when invalid)
+    nei_theta: jnp.ndarray    # (L, A, M) f32
+    # GMM summary over the correlation levels (correlation.h:49-122)
+    gmm_mask: jnp.ndarray     # (L, K) bool    95%-area prefix per level
+    auto_corr: jnp.ndarray    # () f32         self L2 inner product
