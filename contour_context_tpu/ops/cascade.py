@@ -1,0 +1,276 @@
+"""Batched candidate check cascade on device.
+
+The reference runs checkCandWithHint sequentially per retrieved key hit
+(~18 hits/key avg, contour_db.h:374-488). Here ALL hints of a query are
+verified in one XLA dispatch over a padded hint axis H:
+
+  check 1  anchor ellipse similarity      (contour.h:278-329)
+  check 2  BCI constellation consensus    (contour_mng.h:288-388)
+  check 3  pairwise sim + orientation     (contour_mng.h:1124-1242)
+  TF       closed-form 2-D umeyama        (contour_mng.h:1251-1277)
+
+Inputs are per-hint gathered candidate tables (src_*) and the query ScanDesc.
+Early exits become masks; every hint computes everything (the TPU way).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from contour_context_tpu.config import (
+    CandidateScoreEnsemble,
+    ContourSimThresConfig,
+)
+
+P_MAX = 64      # constellation pairs kept per hint (window + anchor)
+P_POT = 256     # potential (bit-adjacent) pairs kept for the angular window
+ANG_RANGE = math.pi / 16
+SHAFT_TOP = 10  # pairs considered for the shaft (contour_mng.h:1174)
+
+
+class CascadeResult(NamedTuple):
+    pass1: jnp.ndarray        # (H,) bool — anchor checkSim
+    pass2: jnp.ndarray        # (H,) bool — constellation consensus
+    pass3: jnp.ndarray        # (H,) bool — pairwise + orientation
+    ovlp_sum: jnp.ndarray     # (H,) int32
+    ovlp_max_one: jnp.ndarray  # (H,) int32
+    in_ang_rng: jnp.ndarray   # (H,) int32
+    i_indiv_sim: jnp.ndarray  # (H,) int32
+    i_orie_sim: jnp.ndarray   # (H,) int32
+    pair_valid: jnp.ndarray   # (H, P) bool  — final filtered constellation
+    pair_level: jnp.ndarray   # (H, P) int32
+    pair_seq_src: jnp.ndarray  # (H, P) int32
+    pair_seq_tgt: jnp.ndarray  # (H, P) int32
+    pair_area_perc: jnp.ndarray  # (H, P) f32
+    T_delta: jnp.ndarray      # (H, 3) f32 (x, y, theta): T_tgt = T_delta * T_src
+
+
+# ---------------------------------------------------------------------------
+
+def check_sim_batched(cnt_s, eig_s, h_s, comr_s, cnt_t, eig_t, h_t, comr_t,
+                      th: ContourSimThresConfig):
+    """Vectorized ContourView::checkSim (contour.h:278-329). All args broadcast."""
+    cnt_s = cnt_s.astype(jnp.float32)
+    cnt_t = cnt_t.astype(jnp.float32)
+
+    def diff_perc(a, b, p):
+        return jnp.abs((a - b) / jnp.maximum(a, b)) > p
+
+    def diff_delt(a, b, d):
+        return jnp.abs(a - b) > d
+
+    fail = diff_perc(cnt_s, cnt_t, th.tp_cell_cnt) & \
+        diff_delt(cnt_s, cnt_t, th.ta_cell_cnt)
+    fail |= (jnp.maximum(eig_s[..., 1], eig_t[..., 1]) > 2.0) & \
+        diff_perc(jnp.sqrt(eig_s[..., 1]), jnp.sqrt(eig_t[..., 1]), th.tp_eigval)
+    fail |= (jnp.maximum(eig_s[..., 0], eig_t[..., 0]) > 2.0) & \
+        diff_perc(jnp.sqrt(eig_s[..., 0]), jnp.sqrt(eig_t[..., 0]), th.tp_eigval)
+    fail |= (jnp.maximum(cnt_s, cnt_t) > 15) & \
+        diff_delt(h_s, h_t, th.ta_h_bar)
+    fail |= diff_delt(comr_s, comr_t, th.ta_rcom) & \
+        diff_perc(comr_s, comr_t, th.tp_rcom)
+    return ~fail
+
+
+def _clamp_ang(a):
+    return a - jnp.floor((a + math.pi) / (2 * math.pi)) * (2 * math.pi)
+
+
+def _bits_from_nei(bit, valid):
+    """(H, M) neighbor bit table -> (H, 256) bool mask."""
+    onehot = (bit[..., None] == jnp.arange(256)[None, None]) & valid[..., None]
+    return jnp.any(onehot, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("thres_lb", "cont_sim"))
+def run_cascade(
+    # per-hint candidate-side gathers
+    src_anchor,        # dict: cnt, eig, h, comr           — (H,) / (H,2)
+    src_nei,           # dict: valid, level, seq, bit, theta — (H, M)
+    src_tab,           # dict over levels 1..4 x seq 0..J: cnt (H,4,J), eig (H,4,J,2),
+                       #   h, comr, mean (H,4,J,2), vec1 (H,4,J,2), ecc (H,4,J), perc (H,4,J)
+    # query-side per-hint gathers
+    tgt_anchor, tgt_nei,
+    tgt_tab,           # same shapes as src_tab (from the query scan)
+    hint_valid,        # (H,) bool
+    anchor_level,      # (H,) int32 — q_level of the hint
+    anchor_seq_src, anchor_seq_tgt,   # (H,) int32
+    thres_lb: CandidateScoreEnsemble,
+    cont_sim: ContourSimThresConfig,
+) -> CascadeResult:
+    H, M = src_nei["bit"].shape
+
+    # ---- check 1: anchor similarity -------------------------------------
+    pass1 = hint_valid & check_sim_batched(
+        src_anchor["cnt"], src_anchor["eig"], src_anchor["h"], src_anchor["comr"],
+        tgt_anchor["cnt"], tgt_anchor["eig"], tgt_anchor["h"], tgt_anchor["comr"],
+        cont_sim)
+
+    # ---- check 2: BCI constellation consensus ---------------------------
+    bits_s = _bits_from_nei(src_nei["bit"], src_nei["valid"])
+    bits_t = _bits_from_nei(tgt_nei["bit"], tgt_nei["valid"])
+    shl = jnp.concatenate([jnp.zeros((H, 1), bool), bits_s[:, :-1]], axis=1)
+    shr = jnp.concatenate([bits_s[:, 1:], jnp.zeros((H, 1), bool)], axis=1)
+    and1 = jnp.sum(bits_s & bits_t, axis=1)
+    and2 = jnp.sum(shl & bits_t, axis=1)
+    and3 = jnp.sum(shr & bits_t, axis=1)
+    ovlp_sum = (and1 + and2 + and3).astype(jnp.int32)
+    max_one = jnp.maximum(and1, jnp.maximum(and2, and3)).astype(jnp.int32)
+    gate2 = (ovlp_sum >= thres_lb.sim_constell.i_ovlp_sum) & \
+        (max_one >= thres_lb.sim_constell.i_ovlp_max_one)
+
+    # potential pairs: bit distance <= 1 (contour_mng.h:311-334)
+    close = (jnp.abs(src_nei["bit"][:, :, None] - tgt_nei["bit"][:, None, :]) <= 1) \
+        & src_nei["valid"][:, :, None] & tgt_nei["valid"][:, None, :]
+    orie = _clamp_ang(tgt_nei["theta"][:, None, :] - src_nei["theta"][:, :, None])
+    orie = jnp.where(close, orie, jnp.inf).reshape(H, M * M)
+    p_src_slot = jnp.broadcast_to(jnp.arange(M)[None, :, None], (H, M, M)).reshape(H, M * M)
+    p_tgt_slot = jnp.broadcast_to(jnp.arange(M)[None, None, :], (H, M, M)).reshape(H, M * M)
+
+    order = jnp.argsort(orie, axis=1)[:, :P_POT]
+    sv = jnp.take_along_axis(orie, order, axis=1)             # (H, P_POT) ascending
+    s_src = jnp.take_along_axis(p_src_slot, order, axis=1)
+    s_tgt = jnp.take_along_axis(p_tgt_slot, order, axis=1)
+    n_pot = jnp.sum(jnp.isfinite(sv), axis=1).astype(jnp.int32)
+
+    # circular window of width ANG_RANGE: per start i,
+    #   count = ss(v, v_i + rng, right) - i + ss(v, v_i + rng - 2pi, right)
+    def window_counts(vals, n):
+        hi = vals + ANG_RANGE
+        c_main = jax.vmap(lambda t: jnp.searchsorted(vals, t, side="right"))(hi)
+        c_wrap = jax.vmap(lambda t: jnp.searchsorted(vals, t, side="right"))(hi - 2 * math.pi)
+        idx = jnp.arange(vals.shape[0])
+        cnt = jnp.minimum(c_main, n) - idx + jnp.minimum(c_wrap, n)
+        return jnp.where(idx < n, cnt, 0)
+
+    counts = jax.vmap(window_counts)(sv, n_pot)               # (H, P_POT)
+    longest = jnp.maximum(jnp.max(counts, axis=1), 1).astype(jnp.int32)
+    best_beg = jnp.argmax(counts, axis=1).astype(jnp.int32)
+    in_ang = jnp.where(n_pot > 0, longest, 1)
+    pass2 = pass1 & gate2 & (in_ang >= thres_lb.sim_constell.i_in_ang_rng)
+
+    # window members -> fixed (H, P_MAX) constellation, anchor pair appended
+    win_pos = (best_beg[:, None] + jnp.arange(P_MAX - 1)[None, :])
+    win_val = jnp.arange(P_MAX - 1)[None, :] < jnp.minimum(longest, P_MAX - 1)[:, None]
+    win_pos = win_pos % jnp.maximum(n_pot, 1)[:, None]
+    g_src_slot = jnp.take_along_axis(s_src, win_pos, axis=1)
+    g_tgt_slot = jnp.take_along_axis(s_tgt, win_pos, axis=1)
+    # pair identity from the neighbor tables
+    pl = jnp.take_along_axis(src_nei["level"], g_src_slot, axis=1)
+    ps = jnp.take_along_axis(src_nei["seq"], g_src_slot, axis=1)
+    pt = jnp.take_along_axis(tgt_nei["seq"], g_tgt_slot, axis=1)
+
+    pair_level = jnp.concatenate([pl, anchor_level[:, None]], axis=1)
+    pair_seq_src = jnp.concatenate([ps, anchor_seq_src[:, None]], axis=1)
+    pair_seq_tgt = jnp.concatenate([pt, anchor_seq_tgt[:, None]], axis=1)
+    # anchor pair goes at position `longest` (the reference appends it last);
+    # move it there by building a permutation-free mask: slots [0, longest) are
+    # window members, slot P_MAX-1 holds the anchor. Order only matters for the
+    # shaft loop, which uses compacted positions — handled below via rank.
+    pair_valid0 = jnp.concatenate([win_val, jnp.ones((H, 1), bool)], axis=1) \
+        & pass2[:, None]
+    # rank in the reference's cstl_in order: window members 0..longest-1, anchor = longest
+    rank0 = jnp.concatenate([
+        jnp.broadcast_to(jnp.arange(P_MAX - 1)[None, :], (H, P_MAX - 1)),
+        longest[:, None]], axis=1).astype(jnp.int32)
+
+    # ---- check 3: individual similarity over the constellation ----------
+    J = src_tab["cnt"].shape[2]
+
+    def gather_tab(tab, lev, seq):
+        # lev in {1..4} -> row lev-1 ; out-of-range guarded by validity
+        li = jnp.clip(lev - 1, 0, tab["cnt"].shape[1] - 1)
+        sj = jnp.clip(seq, 0, J - 1)
+        out = {}
+        for k, v in tab.items():
+            out[k] = v[jnp.arange(H)[:, None], li, sj]
+        return out
+
+    s = gather_tab(src_tab, pair_level, pair_seq_src)
+    t = gather_tab(tgt_tab, pair_level, pair_seq_tgt)
+    indiv = check_sim_batched(s["cnt"], s["eig"], s["h"], s["comr"],
+                              t["cnt"], t["eig"], t["h"], t["comr"], cont_sim)
+    cstl1 = pair_valid0 & indiv & s["ok"] & t["ok"]
+    i_indiv = jnp.sum(cstl1, axis=1).astype(jnp.int32)
+    gate3a = i_indiv >= thres_lb.sim_pair.i_indiv_sim
+
+    # compacted position in cstl_in order (window order, anchor last)
+    big = jnp.int32(1 << 20)
+    order_rank = jnp.where(cstl1, rank0, big)
+    pos_sorted = jnp.argsort(order_rank, axis=1)            # slots by rank
+    inv_pos = jnp.argsort(pos_sorted, axis=1)               # slot -> compact pos
+    cpos = jnp.where(cstl1, inv_pos, big)
+
+    # ---- shaft selection quirk (contour_mng.h:1173-1184) ----------------
+    # iterate (i in 1..min(n,10), j < i) over compacted positions; any span with
+    # norm > current shaft norm (0 then 1 after first) replaces it ->
+    # winner = last span with norm > 1, else first with norm > 0.
+    mean_s = s["mean"]                                       # (H, P, 2)
+    mean_t = t["mean"]
+    pi_ = cpos[:, :, None]
+    pj_ = cpos[:, None, :]
+    elig = (pi_ < SHAFT_TOP) & (pj_ < pi_) & cstl1[:, :, None] & cstl1[:, None, :]
+    span_s = mean_s[:, :, None, :] - mean_s[:, None, :, :]   # (H, P, P, 2)
+    span_n = jnp.linalg.norm(span_s, axis=-1)
+    it_rank = (pi_ * SHAFT_TOP + pj_).astype(jnp.int32)      # iteration order
+    r_gt1 = jnp.where(elig & (span_n > 1.0), it_rank, -1)
+    best_gt1 = jnp.max(r_gt1.reshape(H, -1), axis=1)
+    r_gt0 = jnp.where(elig & (span_n > 0.0), it_rank, big)
+    best_gt0 = jnp.min(r_gt0.reshape(H, -1), axis=1)
+    use_rank = jnp.where(best_gt1 >= 0, best_gt1, best_gt0)  # (H,)
+    pick = (it_rank == use_rank[:, None, None]) & elig
+    # flatten pick to one (i_slot, j_slot)
+    pick_f = pick.reshape(H, -1)
+    pick_idx = jnp.argmax(pick_f, axis=1)
+    any_pick = jnp.any(pick_f, axis=1)
+    i_slot = pick_idx // cstl1.shape[1]
+    j_slot = pick_idx % cstl1.shape[1]
+    hidx = jnp.arange(H)
+    sh_s = mean_s[hidx, i_slot] - mean_s[hidx, j_slot]
+    sh_t = mean_t[hidx, i_slot] - mean_t[hidx, j_slot]
+    sh_s = sh_s / jnp.maximum(jnp.linalg.norm(sh_s, axis=-1, keepdims=True), 1e-12)
+    sh_t = sh_t / jnp.maximum(jnp.linalg.norm(sh_t, axis=-1, keepdims=True), 1e-12)
+    sh_s = jnp.where(any_pick[:, None], sh_s, 0.0)
+    sh_t = jnp.where(any_pick[:, None], sh_t, 0.0)
+
+    # ---- orientation screen (contour_mng.h:1186-1201) -------------------
+    th_s = jnp.arccos(jnp.clip(jnp.sum(sh_s[:, None, :] * s["vec1"], axis=-1), -1.0, 1.0))
+    th_t = jnp.arccos(jnp.clip(jnp.sum(sh_t[:, None, :] * t["vec1"], axis=-1), -1.0, 1.0))
+    both_ecc = s["ecc"] & t["ecc"]
+    bad = both_ecc & (jnp.abs(th_s - th_t) > math.pi / 6) \
+        & (jnp.abs(math.pi - th_s - th_t) > math.pi / 6)
+    cstl2 = cstl1 & ~bad
+    i_orie = jnp.sum(cstl2, axis=1).astype(jnp.int32)
+    pass3 = pass2 & gate3a & (i_orie >= thres_lb.sim_pair.i_orie_sim)
+
+    area_perc = jnp.where(cstl2, 0.5 * (s["perc"] + t["perc"]), 0.0)
+
+    # ---- umeyama SE(2) (contour_mng.h:1251-1277) ------------------------
+    wm = cstl2.astype(jnp.float32)
+    n = jnp.maximum(wm.sum(axis=1, keepdims=True), 1.0)
+    mu_s = (mean_s * wm[..., None]).sum(axis=1) / n
+    mu_t = (mean_t * wm[..., None]).sum(axis=1) / n
+    ds = (mean_s - mu_s[:, None]) * wm[..., None]
+    dt = (mean_t - mu_t[:, None]) * wm[..., None]
+    C = jnp.einsum("hpi,hpj->hij", dt, mean_s - mu_s[:, None],
+                   precision=jax.lax.Precision.HIGHEST)  # sum w (t-μt)(s-μs)^T
+    theta = jnp.arctan2(C[:, 1, 0] - C[:, 0, 1], C[:, 0, 0] + C[:, 1, 1])
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    tx = mu_t[:, 0] - (cth * mu_s[:, 0] - sth * mu_s[:, 1])
+    ty = mu_t[:, 1] - (sth * mu_s[:, 0] + cth * mu_s[:, 1])
+    T_delta = jnp.stack([tx, ty, theta], axis=1)
+
+    return CascadeResult(
+        pass1=pass1, pass2=pass2, pass3=pass3,
+        ovlp_sum=ovlp_sum, ovlp_max_one=max_one, in_ang_rng=in_ang,
+        i_indiv_sim=i_indiv, i_orie_sim=i_orie,
+        pair_valid=cstl2, pair_level=pair_level, pair_seq_src=pair_seq_src,
+        pair_seq_tgt=pair_seq_tgt, pair_area_perc=area_perc, T_delta=T_delta,
+    )

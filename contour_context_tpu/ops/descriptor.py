@@ -238,7 +238,8 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
     eig_vals = jnp.stack([l0, l1], axis=-1)
 
     # manual cov = V diag(eig) V^T (contour.h:376-378)
-    manual_cov = jnp.einsum("...ij,...j,...kj->...ik", eig_vecs, eig_vals, eig_vecs)
+    manual_cov = jnp.einsum("...ij,...j,...kj->...ik", eig_vecs, eig_vals, eig_vecs,
+                            precision=jax.lax.Precision.HIGHEST)
 
     # eccentricitySalient (contour.h:258-260)
     perc = jnp.abs((l0 - l1) / jnp.maximum(l0, l1))
@@ -314,7 +315,8 @@ def make_keys(tab: dict, bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
     # (L*A, P, D) gaussian kernel, summed over pixels
     g = jnp.exp(-0.5 * (div_centers[None, None, :] - dist[..., None]) ** 2) \
         / math.sqrt(2 * math.pi)
-    divs = jnp.einsum("ap,apd->ad", w, g)               # (L*A, 35)
+    divs = jnp.einsum("ap,apd->ad", w, g,
+                      precision=jax.lax.Precision.HIGHEST)  # (L*A, 35)
     ring = divs.reshape(-1, num_bins, div_per_bin).sum(-1)
     ring = jnp.where(cnt_point[:, None] > 0,
                      ring * bin_len / jnp.sqrt(jnp.maximum(cnt_point, 1.0))[:, None],

@@ -1,0 +1,102 @@
+"""Multi-chip scaling via jax.sharding: sharded key search + DP descriptor build.
+
+The reference is single-process/single-thread (SURVEY.md §2.6) — there is no
+distributed design to port. The TPU-native scale-out story for this workload:
+
+- **Database row sharding**: the retrieval-key matrix (N, L, A, 10) is sharded
+  over the mesh's "data" axis on N (scans). Each device computes its local
+  masked top-k; a shard_map all_gather over ICI merges per-shard candidates and
+  a replicated global top-k picks the winners. Communication is O(devices * k)
+  floats per query — negligible vs HBM scan of the shard.
+- **Data-parallel descriptor build**: independent scans batch-vmapped over the
+  same axis (descriptor extraction is embarrassingly parallel; insertion is
+  delayed >=15 s anyway, contour_db.h:54-57, so building ahead is legal).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from contour_context_tpu.config import ContourManagerConfig, GMMOptConfig, PipelineConfig
+
+MAX_DIST_SQ = 1e6
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+@functools.partial(jax.jit, static_argnames=("q_levels", "nnk", "mesh"))
+def sharded_search(db_keys, q_keys, searchable_n,
+                   q_levels: Tuple[int, ...], nnk: int, mesh: Mesh):
+    """Row-sharded brute-force top-k key search.
+
+    db_keys  (N, L, A, 10) sharded on N over mesh axis "data";
+    q_keys   (L, A, 10) replicated; searchable_n scalar (global scan count).
+    Returns (gidx, seq_src, dist, valid) each (Q, A, nnk) — identical to the
+    single-chip ContourDB._search result (db.py), devices permitting.
+    """
+    lv = jnp.array(q_levels, jnp.int32)
+    A = db_keys.shape[2]
+
+    def local(db_rows, q, n_searchable):
+        # db_rows: (N_loc, L, A, D) local shard
+        ax = jax.lax.axis_index("data")
+        N_loc = db_rows.shape[0]
+        base = ax.astype(jnp.int32) * N_loc
+        rows = db_rows[:, lv].transpose(1, 0, 2, 3).reshape(len(q_levels), N_loc * A, -1)
+        qk = q[lv]
+        row_valid = jnp.abs(rows).sum(-1) > 0
+        scan_of_row = base + jnp.repeat(jnp.arange(N_loc, dtype=jnp.int32), A)[None]
+        ok = row_valid & (scan_of_row < n_searchable)
+        d2 = jnp.sum((qk[:, :, None, :] - rows[:, None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(ok[:, None, :], d2, MAX_DIST_SQ)
+        neg, idx = jax.lax.top_k(-d2, nnk)
+        gscan = base + idx // A
+        seq = idx % A
+        # gather per-device candidates: (Q, A, k) -> all_gather over devices
+        cat = lambda x: jax.lax.all_gather(x, "data", axis=2, tiled=True)
+        return cat(-neg), cat(gscan), cat(seq)
+
+    dist_all, gidx_all, seq_all = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P(), P()),
+        out_specs=(P(), P(), P()),
+    )(db_keys, q_keys, searchable_n)
+
+    # global top-k over the device-merged candidate pool (replicated, tiny)
+    neg, pick = jax.lax.top_k(-dist_all, nnk)
+    dist = -neg
+    gidx = jnp.take_along_axis(gidx_all, pick, axis=2)
+    seq_src = jnp.take_along_axis(seq_all, pick, axis=2)
+
+    k0, k1, k2 = (q_keys[lv][..., i] for i in range(3))
+    ub = (jnp.maximum((k0 - k0 * 0.8) ** 2, (k0 - k0 / 0.8) ** 2)
+          + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
+          + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))
+    q_valid = jnp.abs(q_keys[lv]).sum(-1) > 0
+    valid = (dist < jnp.minimum(ub[..., None], MAX_DIST_SQ)) & q_valid[..., None]
+    return gidx, seq_src, dist, valid
+
+
+def dp_build_descriptors(points_batch, cfg: ContourManagerConfig,
+                         gmm_cfg: GMMOptConfig, mesh: Mesh):
+    """Data-parallel descriptor build: (B, P, 4) sharded on B over "data"."""
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    sharding = NamedSharding(mesh, P("data"))
+    points_batch = jax.device_put(points_batch, sharding)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "gmm_cfg"))
+    def batch_build(pb, cfg, gmm_cfg):
+        return jax.vmap(lambda p: build_descriptor(p, cfg, gmm_cfg))(pb)
+
+    return batch_build(points_batch, cfg, gmm_cfg)
