@@ -278,15 +278,16 @@ def make_keys(tab: dict, bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
     h_gate = cfg.lv_grads[DIST_BIN_LAYERS[0]]
 
     # compact the above-gate pixel pool to a fixed size
+    n_pool = min(N_PIX_POOL, S)
     pvalid = bev > h_gate
-    order = jnp.argsort(~pvalid, stable=True)[:N_PIX_POOL]
+    order = jnp.argsort(~pvalid, stable=True)[:n_pool]
     p_ok = pvalid[order]
     p_r = (order // nc).astype(jnp.int32)
     p_c = (order % nc).astype(jnp.int32)
     p_rowf = rowf[order]
     p_colf = colf[order]
     p_h = bev[order]
-    higher = jnp.zeros(N_PIX_POOL, jnp.float32)
+    higher = jnp.zeros(n_pool, jnp.float32)
     for ele in range(DIST_BIN_LAYERS[0], L):
         higher += (p_h > cfg.lv_grads[ele]).astype(jnp.float32)
 

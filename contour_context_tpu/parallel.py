@@ -21,7 +21,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from contour_context_tpu.config import ContourManagerConfig, GMMOptConfig, PipelineConfig
@@ -66,10 +65,11 @@ def sharded_search(db_keys, q_keys, searchable_n,
         cat = lambda x: jax.lax.all_gather(x, "data", axis=2, tiled=True)
         return cat(-neg), cat(gscan), cat(seq)
 
-    dist_all, gidx_all, seq_all = shard_map(
+    dist_all, gidx_all, seq_all = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("data"), P(), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False,
     )(db_keys, q_keys, searchable_n)
 
     # global top-k over the device-merged candidate pool (replicated, tiny)
