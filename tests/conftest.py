@@ -6,7 +6,10 @@ xla_force_host_platform_device_count per the standard JAX testing recipe.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may preset JAX_PLATFORMS=axon (the
+# single-TPU tunnel), which makes eager/test dispatch go over the wire.
+# Set CONT2_TEST_PLATFORM=axon explicitly to run the suite on the chip.
+os.environ["JAX_PLATFORMS"] = os.environ.get("CONT2_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
