@@ -163,6 +163,8 @@ class ContourDBConfig:
     # TPU capacity knobs
     key_capacity: int = 65536     # HBM key-matrix rows per query level (grows are a re-alloc)
     max_check_cands: int = 128    # candidate hints compacted into the batched check cascade
+    max_pass_hints: int = 64      # cascade survivors fed to the on-device proposal merge
+    max_cand_poses: int = 32      # candidate pose rows in the on-device CandidateManager
     dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
 
 

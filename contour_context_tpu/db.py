@@ -1,4 +1,4 @@
-"""ContourDB, TPU-native: device-resident descriptor store + batched query.
+"""ContourDB, TPU-native: device-resident descriptor store + one-dispatch query.
 
 Replaces the reference's bucketed nanoflann kd-trees + sequential check cascade
 (contour_db.h:54-845) with:
@@ -13,9 +13,16 @@ Replaces the reference's bucketed nanoflann kd-trees + sequential check cascade
   is triggered (oldest unpopped ts <= t-max_elapse) and ts_i < t-min_elapse.
   The reference staggers pops per bucket by a few scans; the >=15 s exclusion
   window — the semantic contract used by gt labeling — is preserved exactly.
-- one batched cascade dispatch over all hints (ops/cascade.py), then an exact
-  host-side replica of CandidateManager's sequential proposal merging
-  (contour_db.h:264-656), then batched GMM scoring (ops/gmm.py).
+- ONE fused XLA dispatch per query: search -> stable hint compaction ->
+  batched check cascade (ops/cascade.py) -> on-device sequential proposal
+  merge (ops/candidate.py) -> tidy screens -> batched GMM init + fixed-iter
+  LM refinement (ops/gmm.py) -> top-1.  The result is a tiny QueryRecord
+  fetched with an async host copy, so the steady-state loop never blocks on
+  the (high-latency) host<->device link.
+
+A host-side replica of the reference's CandidateManager (contour_db.h:264-656)
+is kept below as the readable spec; tests assert the fused device path matches
+it hint-for-hint.
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ from __future__ import annotations
 import functools
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +43,10 @@ from contour_context_tpu.config import (
     PipelineConfig,
 )
 from contour_context_tpu.ops.cascade import run_cascade
+from contour_context_tpu.ops.candidate import merge_proposals, tidy_candidates
 from contour_context_tpu.ops.gmm import (
     GmmScan,
+    gmm_from_desc,
     init_correlation,
     optimize_correlation,
 )
@@ -47,18 +56,46 @@ MAX_DIST_SQ = 1e6  # contour_db.h:30
 
 
 # ---------------------------------------------------------------------------
-# device helpers (jitted once per shape)
+# device helpers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _append(store: ScanDesc, desc: ScanDesc, idx) -> ScanDesc:
-    return jax.tree.map(
-        lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, idx, 0),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _append(store: ScanDesc, ts_store, state, desc: ScanDesc, ts):
+    """Append desc at row state[0]; state = (n, pop_ptr) int32 device scalars.
+
+    The row index lives on device so the steady-state loop uploads nothing —
+    per-scan H2D over a high-latency link would dominate the pipeline.
+    """
+    n = state[0]
+    new_store = jax.tree.map(
+        lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, n, 0),
         store, desc)
+    new_ts = jax.lax.dynamic_update_index_in_dim(
+        ts_store, jnp.asarray(ts, ts_store.dtype), n, 0)
+    return new_store, new_ts, state.at[0].add(1)
 
 
-@functools.partial(jax.jit, static_argnames=("q_levels", "nnk"))
-def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int):
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("min_elapse", "max_elapse"))
+def _update_window(state, ts_store, curr_ts, min_elapse: float,
+                   max_elapse: float):
+    """pushAndBalance temporal-window replica, fully on device.
+
+    Pop triggers when the oldest unpopped scan is older than max_elapse; then
+    every scan older than min_elapse becomes searchable (TreeBucket semantics,
+    contour_db.h:102-143). Timestamps are monotone in a stream, so the new
+    pop pointer is a masked count.
+    """
+    n, pop_ptr = state[0], state[1]
+    idx = jnp.arange(ts_store.shape[0], dtype=jnp.int32)
+    oldest = ts_store[jnp.clip(pop_ptr, 0, ts_store.shape[0] - 1)]
+    trigger = (pop_ptr < n) & (oldest <= curr_ts - max_elapse)
+    k = jnp.sum((idx < n) & (ts_store < curr_ts - min_elapse)).astype(jnp.int32)
+    new_pop = jnp.where(trigger, jnp.maximum(k, pop_ptr), pop_ptr)
+    return state.at[1].set(new_pop)
+
+
+def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
+                 nnk: int):
     """db_keys (N, L, A, 10); q_keys (L, A, 10) -> hits per (q_level, seq).
 
     Returns (gidx, seq_src, dist, valid) each (Q, A, nnk), hits sorted by
@@ -89,6 +126,11 @@ def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int):
     return gidx.astype(jnp.int32), seq_src.astype(jnp.int32), dist, valid
 
 
+@functools.partial(jax.jit, static_argnames=("q_levels", "nnk"))
+def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int):
+    return _search_impl(db_keys, q_keys, searchable_n, q_levels, nnk)
+
+
 def _tab_from(desc_like, gidx=None):
     """Build the (…, 4, J, ·) check-3 stats table from ScanDesc(-like) arrays.
 
@@ -115,10 +157,9 @@ def _tab_from(desc_like, gidx=None):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("thres_lb", "cont_sim"))
-def _gather_and_cascade(store: ScanDesc, query: ScanDesc,
-                        gidx, level, seq_src, seq_tgt, hint_valid,
-                        thres_lb: CandidateScoreEnsemble, cont_sim):
+def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
+                             gidx, level, seq_src, seq_tgt, hint_valid,
+                             thres_lb: CandidateScoreEnsemble, cont_sim):
     H = gidx.shape[0]
     hv = hint_valid
     gi = jnp.where(hv, gidx, 0)
@@ -153,8 +194,15 @@ def _gather_and_cascade(store: ScanDesc, query: ScanDesc,
                        thres_lb, cont_sim)
 
 
-@functools.partial(jax.jit, static_argnames=("levels",))
-def _gather_gmm(store: ScanDesc, gidx, levels: Tuple[int, ...]) -> GmmScan:
+@functools.partial(jax.jit, static_argnames=("thres_lb", "cont_sim"))
+def _gather_and_cascade(store: ScanDesc, query: ScanDesc,
+                        gidx, level, seq_src, seq_tgt, hint_valid,
+                        thres_lb: CandidateScoreEnsemble, cont_sim):
+    return _gather_and_cascade_impl(store, query, gidx, level, seq_src,
+                                    seq_tgt, hint_valid, thres_lb, cont_sim)
+
+
+def _gather_gmm_impl(store: ScanDesc, gidx, levels: Tuple[int, ...]) -> GmmScan:
     lv = jnp.array(levels, jnp.int32)
     gm = store.gmm_mask[gidx][:, lv]
     return GmmScan(
@@ -166,8 +214,195 @@ def _gather_gmm(store: ScanDesc, gidx, levels: Tuple[int, ...]) -> GmmScan:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _gather_gmm(store: ScanDesc, gidx, levels: Tuple[int, ...]) -> GmmScan:
+    return _gather_gmm_impl(store, gidx, levels)
+
+
 # ---------------------------------------------------------------------------
-# host-side CandidateManager (exact replica of contour_db.h:264-656)
+# the fused per-query device step
+# ---------------------------------------------------------------------------
+
+class QueryRecord(NamedTuple):
+    """Per-query result record. On device this travels as ONE packed (16,)
+    f32 vector (see pack/unpack below): fetching many small buffers over a
+    high-latency link costs one round trip EACH, so the record must be a
+    single buffer, and blocks of records are stacked on device before the one
+    host copy per drain block."""
+    found: jnp.ndarray        # () bool
+    gidx: jnp.ndarray         # () int32 best candidate's store row
+    corr: jnp.ndarray         # () f32 refined correlation
+    T: jnp.ndarray            # (3,) f32 (x, y, theta) BEV delta
+    n_hints: jnp.ndarray      # () int32 valid key hits
+    aft1: jnp.ndarray         # () int32 survivors of check 1 (cand_aft_check1)
+    aft2: jnp.ndarray         # () int32 survivors of check 2
+    aft3: jnp.ndarray         # () int32 survivors of check 3
+    n_cand: jnp.ndarray       # () int32 candidate poses after merging
+    overflow_hints: jnp.ndarray  # () int32 valid hits beyond max_check_cands
+    overflow_pass: jnp.ndarray   # () int32 passing hints beyond merge budget
+    overflow_cand: jnp.ndarray   # () int32 hints dropped, candidate table full
+
+
+RECORD_WIDTH = 16   # packed record floats (14 used; ints exact in f32 < 2^24)
+
+
+def _pack_record(rec: QueryRecord) -> jnp.ndarray:
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return jnp.concatenate([
+        jnp.stack([f32(rec.found), f32(rec.gidx), f32(rec.corr)]),
+        rec.T.astype(jnp.float32),
+        jnp.stack([f32(rec.n_hints), f32(rec.aft1), f32(rec.aft2),
+                   f32(rec.aft3), f32(rec.n_cand), f32(rec.overflow_hints),
+                   f32(rec.overflow_pass), f32(rec.overflow_cand)]),
+        jnp.zeros(RECORD_WIDTH - 14, jnp.float32),
+    ])
+
+
+def _unpack_record(v: np.ndarray) -> QueryRecord:
+    v = np.asarray(v)
+    return QueryRecord(
+        found=bool(v[0] > 0.5), gidx=int(v[1]), corr=float(v[2]),
+        T=v[3:6].astype(np.float64), n_hints=int(v[6]), aft1=int(v[7]),
+        aft2=int(v[8]), aft3=int(v[9]), n_cand=int(v[10]),
+        overflow_hints=int(v[11]), overflow_pass=int(v[12]),
+        overflow_cand=int(v[13]))
+
+
+@functools.partial(jax.jit, static_argnames=("pcfg",))
+def _query_step(store: ScanDesc, query: ScanDesc, state,
+                pcfg: PipelineConfig) -> QueryRecord:
+    """queryRangedKNN (contour_db.h:698-811) as ONE device dispatch.
+
+    `state` is the DB's device window state (n, pop_ptr); rows below pop_ptr
+    are searchable. Everything else (store, query) is device-resident, so a
+    query costs zero host->device transfers.
+    """
+    cfg = pcfg
+    q_levels = tuple(cfg.db.q_levels)
+    nnk = cfg.db.nnk
+    N = store.keys.shape[0]
+    searchable_n = state[1]
+
+    gidx, seq_src, dist, valid = _search_impl(
+        store.keys, query.keys, searchable_n, q_levels, nnk)
+    Q, A, K = gidx.shape
+    Hfull = Q * A * K
+    lv = jnp.array(q_levels, jnp.int32)
+    level_f = jnp.broadcast_to(lv[:, None, None], (Q, A, K)).reshape(-1)
+    seq_tgt_f = jnp.broadcast_to(
+        jnp.arange(A, dtype=jnp.int32)[None, :, None], (Q, A, K)).reshape(-1)
+    gidx_f = gidx.reshape(-1)
+    seq_src_f = seq_src.reshape(-1)
+    valid_f = valid.reshape(-1)
+
+    # stable compaction: first max_check_cands valid hits in (q_level, anchor,
+    # ranked-hit) order — the reference's sequential processing order.
+    HC = min(cfg.db.max_check_cands, Hfull)
+    perm = jnp.argsort(~valid_f, stable=True)[:HC]
+    hv = valid_f[perm]
+    n_valid = jnp.sum(valid_f).astype(jnp.int32)
+    overflow_hints = jnp.maximum(0, n_valid - HC)
+
+    res = _gather_and_cascade_impl(
+        store, query, gidx_f[perm], level_f[perm], seq_src_f[perm],
+        seq_tgt_f[perm], hv, cfg.thres_lb, cfg.db.cont_sim)
+
+    st = merge_proposals(
+        res.pass3, gidx_f[perm], res.T_delta, res.pair_valid, res.pair_level,
+        res.pair_seq_src, res.pair_seq_tgt, res.pair_area_perc,
+        n_cand_max=cfg.db.max_cand_poses, n_pass_max=cfg.db.max_pass_hints)
+
+    alive, T_sel, area, votes, _ = tidy_candidates(
+        st, cfg.thres_lb.sim_post.area_perc, cfg.thres_lb.sim_post.neg_est_dist,
+        cfg.cm.n_row, cfg.cm.n_col, cfg.cm.reso_row, cfg.cm.reso_col)
+
+    # batched GMM init correlation (screen 3/3 of tidyUpCandidates)
+    cg = jnp.clip(st.cand_gidx, 0, N - 1)
+    src_gmm = _gather_gmm_impl(store, cg, tuple(cfg.gmm.levels))
+    tgt_gmm = gmm_from_desc(query, cfg.gmm)
+    corr0, selp = init_correlation(src_gmm, tgt_gmm, T_sel,
+                                   scale=cfg.gmm.cov_dilate_scale)
+    keep = alive & (corr0 >= cfg.thres_lb.sim_post.correlation)
+
+    # fineOptimize (contour_db.h:604-648): LM-refine the top max_fine_opt
+    C = st.cand_gidx.shape[0]
+    F = min(cfg.db.max_fine_opt, C)
+    rank = jnp.where(keep, corr0, -jnp.inf)
+    topv, topi = jax.lax.top_k(rank, F)
+    valid_fine = jnp.isfinite(topv)
+    src_f = jax.tree.map(lambda a: a[topi], src_gmm)
+    corr_f, T_f = optimize_correlation(
+        src_f, tgt_gmm, T_sel[topi], selp[topi],
+        scale=cfg.gmm.cov_dilate_scale, iters=cfg.gmm.gn_iters)
+    corr_fm = jnp.where(valid_fine, corr_f, -jnp.inf)
+    best = jnp.argmax(corr_fm)
+    found = jnp.any(valid_fine)
+
+    return _pack_record(QueryRecord(
+        found=found,
+        gidx=jnp.where(found, st.cand_gidx[topi[best]], -1).astype(jnp.int32),
+        corr=jnp.where(found, corr_fm[best], 0.0).astype(jnp.float32),
+        T=T_f[best].astype(jnp.float32),
+        n_hints=n_valid,
+        aft1=jnp.sum(res.pass1).astype(jnp.int32),
+        aft2=jnp.sum(res.pass2).astype(jnp.int32),
+        aft3=jnp.sum(res.pass3).astype(jnp.int32),
+        n_cand=st.n_cand,
+        overflow_hints=overflow_hints.astype(jnp.int32),
+        overflow_pass=st.overflow_pass,
+        overflow_cand=st.overflow_cand,
+    ))
+
+
+class QueryHandle:
+    """Deferred query result: a packed device record vector not yet fetched.
+
+    Fetch one with `get()` (one host round trip) or many with
+    `drain_handles()` (device-side stack + ONE host copy for the whole block —
+    the steady-state pattern; per-transfer latency dominates on tunneled
+    links)."""
+
+    __slots__ = ("rec", "_db", "_host")
+
+    def __init__(self, rec: jnp.ndarray, db: "ContourDB"):
+        self.rec = rec          # (RECORD_WIDTH,) f32 on device
+        self._db = db
+        self._host: Optional[QueryRecord] = None
+
+    def _finish(self, vec) -> Optional[Tuple[int, float, np.ndarray]]:
+        rec = _unpack_record(vec)
+        self._host = rec
+        self._db._accumulate_counters(rec)
+        if not rec.found:
+            return None
+        return rec.gidx, rec.corr, rec.T
+
+    def get(self) -> Optional[Tuple[int, float, np.ndarray]]:
+        if self._host is not None:
+            rec = self._host
+            return (rec.gidx, rec.corr, rec.T) if rec.found else None
+        return self._finish(jax.device_get(self.rec))
+
+
+def drain_handles(handles) -> list:
+    """Fetch a block of QueryHandles with one device-side stack + ONE copy.
+
+    Returns a list of per-handle results (None or (gidx, corr, T3)), in order.
+    None entries in `handles` pass through (queries against an empty DB)."""
+    live = [h for h in handles if h is not None]
+    if not live:
+        return [None] * len(handles)
+    if len(live) == 1:
+        mat = [jax.device_get(live[0].rec)]
+    else:  # eager stack = one device op, then ONE host copy
+        mat = np.asarray(jax.device_get(jnp.stack([h.rec for h in live])))
+    it = iter(mat)
+    return [None if h is None else h._finish(next(it)) for h in handles]
+
+
+# ---------------------------------------------------------------------------
+# host-side CandidateManager (readable spec replica of contour_db.h:264-656;
+# the device path above is tested against it)
 # ---------------------------------------------------------------------------
 
 @dataclass
@@ -278,53 +513,100 @@ class ContourDB:
     def __init__(self, cfg: PipelineConfig, capacity: int = 8192):
         self.cfg = cfg
         self.capacity = capacity
-        self.n = 0
+        self.n = 0                # host mirror of state[0]
         self.store: Optional[ScanDesc] = None
+        self.ts_store = None      # (capacity,) f32 device timestamps
+        self.state = None         # (2,) i32 device (n, pop_ptr/searchable_n)
         self.ts: List[float] = []
         self.seq_of_gidx: List[int] = []
-        # temporal insertion window (TreeBucket semantics, contour_db.h:102-143)
-        self.pop_ptr = 0          # first scan index not yet popped to the trees
-        self.searchable_n = 0
         self.max_fine = cfg.db.max_fine_opt
         self.gmm_pad = 32
+        # check-cascade survivor counters (contour_db.h:356-359)
+        self.counters = dict(n_hints=0, cand_aft_check1=0, cand_aft_check2=0,
+                             cand_aft_check3=0, overflow_hints=0,
+                             overflow_pass=0, overflow_cand=0)
+
+    def _accumulate_counters(self, rec) -> None:
+        self.counters["n_hints"] += int(rec.n_hints)
+        self.counters["cand_aft_check1"] += int(rec.aft1)
+        self.counters["cand_aft_check2"] += int(rec.aft2)
+        self.counters["cand_aft_check3"] += int(rec.aft3)
+        self.counters["overflow_hints"] += int(rec.overflow_hints)
+        self.counters["overflow_pass"] += int(rec.overflow_pass)
+        self.counters["overflow_cand"] += int(rec.overflow_cand)
 
     # -- maintenance ------------------------------------------------------
 
-    def add_scan(self, desc: ScanDesc, seq: int, ts: float):
+    @property
+    def searchable_n(self) -> int:
+        """Host view of the device window state (synchronizing; debug only)."""
+        if self.state is None:
+            return 0
+        return int(jax.device_get(self.state)[1])
+
+    def add_scan(self, desc: ScanDesc, seq: int, ts):
+        """Append a scan. `ts` may be a host float (convenience) or a device
+        scalar shipped with the scan payload (the zero-upload prod path)."""
         if self.store is None:
             self.store = jax.tree.map(
                 lambda x: jnp.zeros((self.capacity,) + x.shape, x.dtype), desc)
+            self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
+            self.state = jnp.zeros((2,), jnp.int32)
         assert self.n < self.capacity, "DB capacity exceeded"
-        self.store = _append(self.store, desc, self.n)
-        self.ts.append(ts)
+        self.store, self.ts_store, self.state = _append(
+            self.store, self.ts_store, self.state, desc, ts)
+        if isinstance(ts, (int, float)):
+            self.ts.append(float(ts))
         self.seq_of_gidx.append(seq)
         self.n += 1
 
-    def push_and_balance(self, curr_ts: float):
+    def push_and_balance(self, curr_ts):
         """Pop the buffer once the oldest unpopped scan exceeds max_elapse;
-        everything older than min_elapse becomes searchable."""
+        everything older than min_elapse becomes searchable. Device-side."""
         tb = self.cfg.db.tb
-        if self.pop_ptr < self.n and self.ts[self.pop_ptr] <= curr_ts - tb.max_elapse:
-            cut = curr_ts - tb.min_elapse
-            k = self.pop_ptr
-            while k < self.n and self.ts[k] < cut:
-                k += 1
-            self.pop_ptr = k
-            self.searchable_n = k
+        if self.state is None:
+            return
+        self.state = _update_window(self.state, self.ts_store, curr_ts,
+                                    tb.min_elapse, tb.max_elapse)
 
     # -- query ------------------------------------------------------------
 
+    def query_async(self, query: ScanDesc) -> Optional[QueryHandle]:
+        """Dispatch the fused query step; returns a QueryHandle (or None when
+        the DB is empty). An empty search window yields found=False on device
+        — no host sync needed to decide. Fetch results in blocks with
+        drain_handles() to amortize link latency."""
+        if self.store is None:
+            return None
+        rec = _query_step(self.store, query, self.state, self.cfg)
+        return QueryHandle(rec, self)
+
     def query_ranged_knn(self, query: ScanDesc, profiler=None):
         """queryRangedKNN (contour_db.h:698-811): returns at most one
-        (cand_gidx, correlation, T_delta(3,)) or None."""
+        (cand_gidx, correlation, T_delta(3,)) or None. Blocking wrapper of
+        query_async."""
+        h = self.query_async(query)
+        if profiler:
+            jax.block_until_ready(h.rec if h else None)
+            profiler.record("query (fused)")
+        return h.get() if h is not None else None
+
+    # -- host reference path (spec replica, used by parity tests) ----------
+
+    def query_ranged_knn_host(self, query: ScanDesc, profiler=None):
+        """Sequential host CandidateManager path — the readable spec.
+
+        Identical semantics to query_ranged_knn but with the proposal merging
+        on host and without hint compaction (all valid hits are processed)."""
         cfg = self.cfg
-        if self.searchable_n == 0 or self.store is None:
+        if self.store is None or self.searchable_n == 0:
             return None
 
         q_levels = tuple(cfg.db.q_levels)
         nnk = cfg.db.nnk
         gidx, seq_src, dist, valid = _search(
-            self.store.keys, query.keys, self.searchable_n, q_levels, nnk)
+            self.store.keys, query.keys, jnp.int32(self.searchable_n),
+            q_levels, nnk)
         if profiler:
             profiler.record("KNN search")
 
@@ -377,7 +659,6 @@ class ContourDB:
             cg[i] = cand.gidx
             Ti[i] = cand.props[0].T
         src_gmm = _gather_gmm(self.store, jnp.asarray(cg), tuple(cfg.gmm.levels))
-        from contour_context_tpu.ops.gmm import gmm_from_desc
         tgt_gmm = gmm_from_desc(query, cfg.gmm)
         corr0, sel = init_correlation(src_gmm, tgt_gmm, jnp.asarray(Ti),
                                       scale=cfg.gmm.cov_dilate_scale)
@@ -388,7 +669,9 @@ class ContourDB:
             if profiler:
                 profiler.record("L2 opt")
             return None
-        # fineOptimize (contour_db.h:604-648): refine up to max_fine_opt
+        # fineOptimize (contour_db.h:604-648): refine up to max_fine_opt,
+        # ranked by init correlation
+        keep.sort(key=lambda i: -corr0[i])
         keep = keep[: self.max_fine]
         kidx = jnp.asarray(np.asarray(keep, np.int32))
         corr_f, T_f = optimize_correlation(

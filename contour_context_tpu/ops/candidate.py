@@ -1,0 +1,233 @@
+"""On-device CandidateManager: proposal merging + tidy screens, zero host syncs.
+
+Replaces the reference's sequential host-side CandidateManager
+(contour_db.h:264-656) with a fixed-shape device replica so the whole query
+step (search -> cascade -> merge -> GMM) is ONE XLA dispatch.  Semantics are an
+exact replica of `addProposal` (contour_db.h:286-338) and the first two screens
+of `tidyUpCandidates` (contour_db.h:494-545); parity is tested against the
+host-side implementation in db.py (itself tested against a sequential oracle).
+
+Layout: candidate poses are rows of fixed-size tables, keyed by the scan index
+`gidx` in first-seen order (like the reference's `candidates_` vector); each
+holds up to 4 proposals (the reference drops the 5th, contour_db.h:326).  The
+constellation-pair union per proposal is a dense (NUM_SLOTS,) map indexed by
+(level, seq_src, seq_tgt) with first-insert-wins percs (`setdefault`,
+contour_db.h:305).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from contour_context_tpu.config import DIST_BIN_LAYERS, LAYER_AREA_WEIGHTS
+
+P_PROP = 4          # max proposals per candidate pose (contour_db.h:326)
+N_LEV = 6           # level values 0..5 cover q_levels and DIST_BIN_LAYERS
+N_SEQ = 10          # seq values 0..9 (dist_firsts)
+NUM_SLOTS = N_LEV * N_SEQ * N_SEQ   # dense (level, seq_src, seq_tgt) key space
+TF_TRANS_MERGE = 2.0    # proposal merge radius, m (contour_db.h:296)
+TF_ANG_MERGE = 0.3      # proposal merge angle, rad (contour_db.h:296)
+
+
+class CandidateState(NamedTuple):
+    cand_gidx: jnp.ndarray    # (C,) int32, -1 when empty; first-seen order
+    n_cand: jnp.ndarray       # () int32
+    prop_n: jnp.ndarray       # (C,) int32 proposals in use
+    prop_T: jnp.ndarray       # (C, 4, 3) f32 (x, y, theta) BEV delta
+    prop_votes: jnp.ndarray   # (C, 4) int32 accumulated pair votes
+    prop_taken: jnp.ndarray   # (C, 4, NUM_SLOTS) bool constellation union
+    prop_perc: jnp.ndarray    # (C, 4, NUM_SLOTS) f32 first-insert percs
+    overflow_cand: jnp.ndarray  # () int32 hints dropped: candidate table full
+    overflow_pass: jnp.ndarray  # () int32 passing hints beyond the merge budget
+
+
+def _clamp_ang(a):
+    return a - jnp.floor((a + math.pi) / (2 * math.pi)) * (2 * math.pi)
+
+
+def dense_pair_maps(pair_valid, pair_level, pair_seq_src, pair_seq_tgt,
+                    pair_perc):
+    """(H, P) ragged pair lists -> dense (H, NUM_SLOTS) perc/taken maps."""
+    H = pair_valid.shape[0]
+    ids = jnp.where(
+        pair_valid,
+        pair_level * (N_SEQ * N_SEQ) + pair_seq_src * N_SEQ + pair_seq_tgt,
+        NUM_SLOTS)
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    perc = jnp.zeros((H, NUM_SLOTS + 1), jnp.float32).at[rows, ids].add(
+        jnp.where(pair_valid, pair_perc, 0.0))
+    taken = jnp.zeros((H, NUM_SLOTS + 1), jnp.float32).at[rows, ids].add(
+        pair_valid.astype(jnp.float32))
+    return perc[:, :NUM_SLOTS], taken[:, :NUM_SLOTS] > 0
+
+
+@functools.partial(jax.jit, static_argnames=("n_cand_max", "n_pass_max"))
+def merge_proposals(pass3, gidx, T_delta, pair_valid, pair_level,
+                    pair_seq_src, pair_seq_tgt, pair_perc,
+                    n_cand_max: int = 32, n_pass_max: int = 64
+                    ) -> CandidateState:
+    """Sequentially merge the passing hints' proposals (addProposal replica).
+
+    Hints are processed in input order (the reference's (q_level, anchor,
+    ranked-hit) order); non-passing hints are skipped via a stable compaction.
+    """
+    H = pass3.shape[0]
+    C = n_cand_max
+    MP = min(n_pass_max, H)
+
+    dense_perc, dense_taken = dense_pair_maps(
+        pair_valid, pair_level, pair_seq_src, pair_seq_tgt, pair_perc)
+    votes_h = jnp.sum(pair_valid, axis=1).astype(jnp.int32)
+
+    # stable compaction of passing hints
+    perm = jnp.argsort(~pass3, stable=True)[:MP]
+    n_pass = jnp.sum(pass3).astype(jnp.int32)
+    overflow_pass = jnp.maximum(0, n_pass - MP)
+
+    g = gidx[perm].astype(jnp.int32)
+    T = T_delta[perm]
+    dperc = dense_perc[perm]
+    dtaken = dense_taken[perm]
+    votes = votes_h[perm]
+
+    init = CandidateState(
+        cand_gidx=jnp.full((C,), -1, jnp.int32),
+        n_cand=jnp.int32(0),
+        prop_n=jnp.zeros((C,), jnp.int32),
+        prop_T=jnp.zeros((C, P_PROP, 3), jnp.float32),
+        prop_votes=jnp.zeros((C, P_PROP), jnp.int32),
+        prop_taken=jnp.zeros((C, P_PROP, NUM_SLOTS), bool),
+        prop_perc=jnp.zeros((C, P_PROP, NUM_SLOTS), jnp.float32),
+        overflow_cand=jnp.int32(0),
+        overflow_pass=overflow_pass,
+    )
+
+    def body(m, st: CandidateState):
+        live = m < jnp.minimum(n_pass, MP)
+        g_m = g[m]
+        T_m = T[m]
+        w2 = votes[m]
+
+        # --- find or create the candidate row ----------------------------
+        eq = st.cand_gidx == g_m
+        found = jnp.any(eq) & live
+        create = live & ~found & (st.n_cand < C)
+        cidx = jnp.where(found, jnp.argmax(eq), st.n_cand)
+        cidx = jnp.clip(cidx, 0, C - 1).astype(jnp.int32)
+        drop_cand = live & ~found & (st.n_cand >= C)
+
+        # --- match an existing proposal (delta within 2 m / 0.3 rad) -----
+        pT = st.prop_T[cidx]                               # (4, 3)
+        c_m, s_m = jnp.cos(T_m[2]), jnp.sin(T_m[2])
+        dx = pT[:, 0] - T_m[0]
+        dy = pT[:, 1] - T_m[1]
+        tx = c_m * dx + s_m * dy
+        ty = -s_m * dx + c_m * dy
+        dth = _clamp_ang(pT[:, 2] - T_m[2])
+        in_use = jnp.arange(P_PROP) < st.prop_n[cidx]
+        match = in_use & (jnp.hypot(tx, ty) < TF_TRANS_MERGE) & \
+            (jnp.abs(dth) < TF_ANG_MERGE)
+        has_match = jnp.any(match)
+        first = jnp.argmax(match).astype(jnp.int32)
+
+        can_append = st.prop_n[cidx] < P_PROP   # ref: skip if len(props) > 3
+        slot = jnp.where(has_match, first, jnp.minimum(st.prop_n[cidx], P_PROP - 1))
+        write = live & ~drop_cand & (has_match | can_append)
+
+        # --- merged / appended proposal values ----------------------------
+        old_T = pT[slot]
+        old_votes = st.prop_votes[cidx, slot]
+        old_taken = st.prop_taken[cidx, slot]
+        old_perc = st.prop_perc[cidx, slot]
+
+        w1 = old_votes
+        wsum = jnp.maximum(w1 + w2, 1).astype(jnp.float32)
+        trans = (old_T[:2] * w1 + T_m[:2] * w2) / wsum
+        # angle blend replica (contour_db.h:313-319)
+        diff = T_m[2] - old_T[2]
+        diff = jnp.where(diff < 0, diff + 2 * math.pi, diff)
+        diff = jnp.where(diff > math.pi, diff - 2 * math.pi, diff)
+        ang = diff * w2.astype(jnp.float32) / wsum + old_T[2]
+        T_merged = jnp.concatenate([trans, ang[None]])
+
+        new_T = jnp.where(has_match, T_merged, T_m)
+        new_votes = jnp.where(has_match, w1 + w2, w2)
+        new_taken = jnp.where(has_match, old_taken | dtaken[m], dtaken[m])
+        new_perc = jnp.where(has_match,
+                             jnp.where(old_taken, old_perc, dperc[m]),
+                             dperc[m])
+
+        sel = lambda cond, new, old: jnp.where(write & cond, new, old)
+        return CandidateState(
+            cand_gidx=st.cand_gidx.at[cidx].set(
+                jnp.where(create, g_m, st.cand_gidx[cidx])),
+            n_cand=st.n_cand + create.astype(jnp.int32),
+            prop_n=st.prop_n.at[cidx].set(
+                st.prop_n[cidx] + (write & ~has_match).astype(jnp.int32)),
+            prop_T=st.prop_T.at[cidx, slot].set(sel(True, new_T, old_T)),
+            prop_votes=st.prop_votes.at[cidx, slot].set(
+                sel(True, new_votes, old_votes)),
+            prop_taken=st.prop_taken.at[cidx, slot].set(
+                sel(True, new_taken, old_taken)),
+            prop_perc=st.prop_perc.at[cidx, slot].set(
+                sel(True, new_perc, old_perc)),
+            overflow_cand=st.overflow_cand + drop_cand.astype(jnp.int32),
+            overflow_pass=st.overflow_pass,
+        )
+
+    # skip the whole merge when nothing passed (the common case on TPU)
+    def run(st):
+        return lax.fori_loop(0, MP, body, st)
+
+    return lax.cond(n_pass > 0, run, lambda st: st, init)
+
+
+def _area_weights() -> jnp.ndarray:
+    """(NUM_SLOTS,) weight of each dense slot = LAYER_AREA_WEIGHTS of its level."""
+    w = [0.0] * N_LEV
+    for j, lev in enumerate(DIST_BIN_LAYERS):
+        w[lev] = LAYER_AREA_WEIGHTS[j]
+    lev_of_slot = jnp.arange(NUM_SLOTS) // (N_SEQ * N_SEQ)
+    return jnp.asarray(w, jnp.float32)[lev_of_slot]
+
+
+def tidy_candidates(st: CandidateState, area_perc_lb: float,
+                    neg_est_dist_lb: float, n_row: int, n_col: int,
+                    reso_row: float, reso_col: float):
+    """Screens 1-2 of tidyUpCandidates (contour_db.h:494-545), vectorized.
+
+    Per candidate: select the proposal with most votes (first wins ties, the
+    reference's strictly-greater scan), screen by weighted constellation area
+    percentage and by the negated estimated sensor-frame distance.
+    Returns (alive (C,), T_sel (C,3), area (C,), votes (C,), sel_idx (C,)).
+    """
+    C = st.cand_gidx.shape[0]
+    in_use = jnp.arange(P_PROP)[None, :] < st.prop_n[:, None]    # (C, 4)
+    votes_m = jnp.where(in_use, st.prop_votes, -1)
+    sel = jnp.argmax(votes_m, axis=1)                            # first max
+    rows = jnp.arange(C)
+
+    w = _area_weights()
+    area_all = jnp.einsum("cps,s->cp",
+                          jnp.where(st.prop_taken, st.prop_perc, 0.0), w)
+    area = area_all[rows, sel]
+    T_sel = st.prop_T[rows, sel]
+    votes = st.prop_votes[rows, sel]
+
+    # distance censor in the sensor frame (getEstSensTF, correlation.h:287-296)
+    ox = n_row / 2 - 0.5
+    oy = n_col / 2 - 0.5
+    c, s = jnp.cos(T_sel[:, 2]), jnp.sin(T_sel[:, 2])
+    tx = c * ox - s * oy + T_sel[:, 0] - ox
+    ty = s * ox + c * oy + T_sel[:, 1] - oy
+    neg_d = -jnp.hypot(tx * reso_row, ty * reso_col)
+
+    alive = (rows < st.n_cand) & (st.prop_n > 0) \
+        & (area >= area_perc_lb) & (neg_d >= neg_est_dist_lb)
+    return alive, T_sel, area, votes, sel

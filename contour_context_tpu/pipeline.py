@@ -1,25 +1,30 @@
 """End-to-end loop-closure pipeline: the batch_bin_test driver, TPU-native.
 
 Replays a sequence (test/batch_bin_test.cpp:105-248): per scan,
-build descriptor (device) -> queryRangedKNN (device search + batched cascade +
-batched GMM, host candidate bookkeeping) -> record TFPN -> add to DB -> advance
-the temporal insertion window. Produces an outcome file scored by eval/pr_mpe.
+build descriptor (device) -> fused query step (device, ONE dispatch) -> add to
+DB -> advance the temporal insertion window.  Query results are fetched with
+async host copies and drained a few scans behind the head, so the steady-state
+loop never blocks on the host<->device link; TFPN recording happens at drain
+time in scan order.  Produces an outcome file scored by eval/pr_mpe.
 """
 
 from __future__ import annotations
 
 import math
+from collections import deque
 from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 import numpy as np
 
 from contour_context_tpu.config import PipelineConfig
-from contour_context_tpu.db import ContourDB
+from contour_context_tpu.db import ContourDB, QueryHandle, drain_handles
 from contour_context_tpu.eval.evaluator import ContLCDEvaluator
 from contour_context_tpu.ops.descriptor import build_descriptor
 from contour_context_tpu.utils.io import pad_points, read_kitti_bin
 from contour_context_tpu.utils.profiling import SequentialTimeProfiler
+
+DRAIN_BLOCK = 32   # query records fetched per host round trip
 
 
 def se2_mat_from_params(T3: np.ndarray) -> np.ndarray:
@@ -46,11 +51,38 @@ class LoopClosurePipeline:
         self.stp = SequentialTimeProfiler("cont2-tpu batch")
         self.results: List[LoopResult] = []
         self.block = block_for_timing
+        self._pending: deque = deque()   # (LaserScanInfo, QueryHandle|None)
         self._load_points: Callable[[str], np.ndarray] = \
             lambda p: read_kitti_bin(p, cfg.cm.max_points)
 
     def set_point_loader(self, fn: Callable[[str], np.ndarray]) -> None:
         self._load_points = fn
+
+    def _process(self, info, res) -> None:
+        cfg = self.cfg
+        if res is None:
+            pred = self.evaluator.add_prediction(info.seq, 0.0)
+            lr = LoopResult(info.seq, None, 0.0, pred.tfpn)
+        else:
+            gidx, corr, T3 = res
+            cand_seq = self.db.seq_of_gidx[gidx]
+            pred = self.evaluator.add_prediction(info.seq, corr, cand_seq,
+                                                 se2_mat_from_params(T3),
+                                                 cfg.cm.n_row, cfg.cm.n_col,
+                                                 cfg.cm.reso_row)
+            lr = LoopResult(info.seq, cand_seq, corr, pred.tfpn)
+        self.results.append(lr)
+
+    def _drain_block(self, k: int) -> None:
+        batch = [self._pending.popleft() for _ in range(k)]
+        results = drain_handles([h for _, h in batch])
+        for (info, _), res in zip(batch, results):
+            self._process(info, res)
+
+    def drain(self) -> None:
+        """Materialize every pending query result (end of the stream)."""
+        if self._pending:
+            self._drain_block(len(self._pending))
 
     def spin_once(self) -> bool:
         """Process the next scan; returns False when the sequence ends."""
@@ -65,29 +97,28 @@ class LoopClosurePipeline:
         self.stp.lap()
         self.stp.start()
         pts = self._load_points(info.fpath)
-        desc = build_descriptor(pad_points(pts, cfg.cm.max_points), cfg.cm, cfg.gmm)
+        # one upload per scan: points + timestamp ride together; everything
+        # downstream (descriptor, query, window update) is device-resident
+        dev_pts, dev_ts = jax.device_put(
+            (pad_points(pts, cfg.cm.max_points), np.float32(info.ts)))
+        desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
         if self.block:
             jax.block_until_ready(desc)
         self.stp.record("make bev")
 
-        res = self.db.query_ranged_knn(desc, profiler=self.stp)
-
-        if res is None:
-            pred = ev.add_prediction(info.seq, 0.0)
-            lr = LoopResult(info.seq, None, 0.0, pred.tfpn)
-        else:
-            gidx, corr, T3 = res
-            cand_seq = self.db.seq_of_gidx[gidx]
-            pred = ev.add_prediction(info.seq, corr, cand_seq,
-                                     se2_mat_from_params(T3),
-                                     cfg.cm.n_row, cfg.cm.n_col, cfg.cm.reso_row)
-            lr = LoopResult(info.seq, cand_seq, corr, pred.tfpn)
-        self.results.append(lr)
+        handle = self.db.query_async(desc)
+        if self.block and handle is not None:
+            jax.block_until_ready(handle.rec)
+        self.stp.record("query (fused)")
+        self._pending.append((info, handle))
 
         self.stp.start()
-        self.db.add_scan(desc, info.seq, info.ts)
-        self.db.push_and_balance(info.ts)
+        self.db.add_scan(desc, info.seq, dev_ts)
+        self.db.push_and_balance(dev_ts)
         self.stp.record("Update database")
+
+        if len(self._pending) >= 2 * DRAIN_BLOCK:
+            self._drain_block(DRAIN_BLOCK)
         return True
 
     def run(self, max_scans: Optional[int] = None, progress_every: int = 0) -> None:
@@ -101,6 +132,7 @@ class LoopClosurePipeline:
                 print("[%d] tp=%d fp=%d fn=%d" % (n, tp, fp, fn), flush=True)
             if max_scans is not None and n >= max_scans:
                 break
+        self.drain()
 
     def save_outcome(self, path: str) -> None:
         self.evaluator.save_prediction_results(path)

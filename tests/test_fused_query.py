@@ -1,0 +1,139 @@
+"""Fused device query step vs the host-side CandidateManager spec replica.
+
+The fused path (db._query_step: search -> compaction -> cascade -> on-device
+merge -> tidy -> GMM) must reproduce the host path (db.query_ranged_knn_host,
+itself oracle-tested) on sequences with genuine revisits: same candidate, same
+correlation, same pose, same no-result decisions.
+"""
+
+import numpy as np
+import pytest
+
+from synth import make_world, render_scan
+
+from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+from contour_context_tpu.db import ContourDB
+from contour_context_tpu.utils.io import pad_points
+
+
+def drive(world, poses, ts_step, cfg, seed0=500):
+    """Run the sequence through both query paths on one DB; compare."""
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    db = ContourDB(cfg, capacity=len(poses) + 2)
+    outcomes = []
+    for i, pose in enumerate(poses):
+        ts = ts_step * i
+        pts = render_scan(world, pose, seed=seed0 + i)
+        desc = build_descriptor(pad_points(pts, cfg.cm.max_points), cfg.cm, cfg.gmm)
+        r_dev = db.query_ranged_knn(desc)
+        r_host = db.query_ranged_knn_host(desc)
+        outcomes.append((i, r_dev, r_host))
+        db.add_scan(desc, i, ts)
+        db.push_and_balance(ts)
+    return db, outcomes
+
+
+@pytest.mark.slow
+def test_fused_matches_host():
+    # caps raised so the fused path processes every hit the host path sees
+    # (the synthetic world is denser than KITTI; defaults cap at 128 hints
+    # and count the overflow instead)
+    from contour_context_tpu.config import ContourDBConfig
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384),
+                         db=ContourDBConfig(max_check_cands=1024,
+                                            max_pass_hints=128))
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses.append((10.5, 0.8, 0.2))    # revisit pose 1
+    poses.append((30.0, -1.0, -0.15))  # revisit pose 3
+    poses.append((110.0, 40.0, 0.6))  # nowhere near anything
+
+    db, outcomes = drive(world, poses, 6.0, cfg)
+
+    n_found = 0
+    for i, r_dev, r_host in outcomes:
+        if r_host is None:
+            assert r_dev is None, (i, r_dev)
+            continue
+        assert r_dev is not None, (i, r_host)
+        n_found += 1
+        assert r_dev[0] == r_host[0], (i, r_dev, r_host)
+        np.testing.assert_allclose(r_dev[1], r_host[1], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(r_dev[2], r_host[2], rtol=1e-3, atol=1e-3)
+    assert n_found >= 2, outcomes
+
+    # counters flowed (one record per fused query that ran); with the raised
+    # caps nothing may overflow, else the host comparison above is vacuous
+    assert db.counters["n_hints"] > 0
+    assert db.counters["overflow_hints"] == 0
+    assert db.counters["overflow_pass"] == 0
+    assert db.counters["overflow_cand"] == 0
+
+
+def test_merge_proposals_vs_host_replica():
+    """Randomized proposal streams: device merge == host AnchorProp merge."""
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import HostCandidateManager
+    from contour_context_tpu.ops.candidate import (
+        NUM_SLOTS, N_SEQ, merge_proposals, tidy_candidates)
+
+    cfg = PipelineConfig()
+    rng = np.random.default_rng(3)
+    H, P = 40, 8
+    for trial in range(4):
+        pass3 = rng.random(H) < 0.5
+        gidx = rng.integers(0, 5, H).astype(np.int32)   # few poses -> merges
+        T = np.stack([rng.uniform(-8, 8, H), rng.uniform(-8, 8, H),
+                      rng.uniform(-0.8, 0.8, H)], axis=1).astype(np.float32)
+        # clump transforms so some proposals merge
+        T[rng.random(H) < 0.5, :2] = rng.uniform(-1, 1, 2).astype(np.float32)
+        pv = rng.random((H, P)) < 0.8
+        plev = rng.integers(1, 5, (H, P)).astype(np.int32)
+        pss = rng.integers(0, N_SEQ, (H, P)).astype(np.int32)
+        pst = rng.integers(0, N_SEQ, (H, P)).astype(np.int32)
+        # make pairs unique within each hint (the cascade guarantees this)
+        for h in range(H):
+            seen = set()
+            for j in range(P):
+                while (plev[h, j], pss[h, j], pst[h, j]) in seen:
+                    pst[h, j] = (pst[h, j] + 1) % N_SEQ
+                seen.add((plev[h, j], pss[h, j], pst[h, j]))
+        perc = rng.uniform(0, 0.2, (H, P)).astype(np.float32)
+
+        st = merge_proposals(
+            jnp.asarray(pass3), jnp.asarray(gidx), jnp.asarray(T),
+            jnp.asarray(pv), jnp.asarray(plev), jnp.asarray(pss),
+            jnp.asarray(pst), jnp.asarray(perc),
+            n_cand_max=8, n_pass_max=64)
+        alive, T_sel, area, votes, sel = tidy_candidates(
+            st, -1.0, -1e9, cfg.cm.n_row, cfg.cm.n_col,
+            cfg.cm.reso_row, cfg.cm.reso_col)
+
+        mgr = HostCandidateManager(cfg)
+        for h in range(H):
+            if not pass3[h]:
+                continue
+            pairs = [(int(plev[h, j]), int(pss[h, j]), int(pst[h, j]))
+                     for j in range(P) if pv[h, j]]
+            percs = [float(perc[h, j]) for j in range(P) if pv[h, j]]
+            mgr.add_passing_hint(int(gidx[h]), T[h].astype(np.float64),
+                                 pairs, percs)
+        cands = mgr.tidy_candidates()  # no screens (lb set permissive above)
+
+        st = type(st)(*[np.asarray(x) for x in st])
+        assert int(st.n_cand) == len(mgr.order), trial
+        for ci, g in enumerate(mgr.order):
+            assert int(st.cand_gidx[ci]) == g
+            host_cand = mgr.by_gidx[g]
+            assert int(st.prop_n[ci]) == len(host_cand.props), (trial, ci)
+        # tidy selection parity (mgr.tidy_candidates swapped best to front)
+        for cand in cands:
+            ci = mgr.order.index(cand.gidx)
+            np.testing.assert_allclose(np.asarray(T_sel)[ci],
+                                       cand.props[0].T, atol=1e-4)
+            np.testing.assert_allclose(float(np.asarray(area)[ci]),
+                                       cand.props[0].area_perc, atol=1e-5)
+            assert int(np.asarray(votes)[ci]) == cand.props[0].vote_cnt
