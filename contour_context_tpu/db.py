@@ -43,7 +43,12 @@ from contour_context_tpu.config import (
     PipelineConfig,
 )
 from contour_context_tpu.ops.cascade import run_cascade
-from contour_context_tpu.ops.candidate import merge_proposals, tidy_candidates
+from contour_context_tpu.ops.candidate import (
+    dynamic_pass_scan,
+    dynamic_post_scan,
+    merge_proposals,
+    tidy_candidates,
+)
 from contour_context_tpu.ops.gmm import (
     GmmScan,
     gmm_from_desc,
@@ -307,14 +312,23 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
         store, query, gidx_f[perm], level_f[perm], seq_src_f[perm],
         seq_tgt_f[perm], hv, cfg.thres_lb, cfg.db.cont_sim)
 
+    if cfg.db.dynamic_thres:
+        # DYNAMIC_THRES=1: sequential re-gating with rising bars
+        pass2_d, pass3_d = dynamic_pass_scan(
+            res.pass1, res.ovlp_sum, res.ovlp_max_one, res.in_ang_rng,
+            res.i_indiv_sim, res.i_orie_sim, cfg.thres_lb, cfg.thres_ub)
+    else:
+        pass2_d, pass3_d = res.pass2, res.pass3
+
     st = merge_proposals(
-        res.pass3, gidx_f[perm], res.T_delta, res.pair_valid, res.pair_level,
+        pass3_d, gidx_f[perm], res.T_delta, res.pair_valid, res.pair_level,
         res.pair_seq_src, res.pair_seq_tgt, res.pair_area_perc,
         n_cand_max=cfg.db.max_cand_poses, n_pass_max=cfg.db.max_pass_hints)
 
-    alive, T_sel, area, votes, _ = tidy_candidates(
+    tidy = tidy_candidates(
         st, cfg.thres_lb.sim_post.area_perc, cfg.thres_lb.sim_post.neg_est_dist,
         cfg.cm.n_row, cfg.cm.n_col, cfg.cm.reso_row, cfg.cm.reso_col)
+    T_sel = tidy.T_sel
 
     # batched GMM init correlation (screen 3/3 of tidyUpCandidates)
     cg = jnp.clip(st.cand_gidx, 0, N - 1)
@@ -322,7 +336,11 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
     tgt_gmm = gmm_from_desc(query, cfg.gmm)
     corr0, selp = init_correlation(src_gmm, tgt_gmm, T_sel,
                                    scale=cfg.gmm.cov_dilate_scale)
-    keep = alive & (corr0 >= cfg.thres_lb.sim_post.correlation)
+    if cfg.db.dynamic_thres:
+        keep = dynamic_post_scan(tidy.in_use, tidy.area, tidy.neg_d, corr0,
+                                 cfg.thres_lb.sim_post, cfg.thres_ub.sim_post)
+    else:
+        keep = tidy.alive & (corr0 >= cfg.thres_lb.sim_post.correlation)
 
     # fineOptimize (contour_db.h:604-648): LM-refine the top max_fine_opt
     C = st.cand_gidx.shape[0]
@@ -345,8 +363,8 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
         T=T_f[best].astype(jnp.float32),
         n_hints=n_valid,
         aft1=jnp.sum(res.pass1).astype(jnp.int32),
-        aft2=jnp.sum(res.pass2).astype(jnp.int32),
-        aft3=jnp.sum(res.pass3).astype(jnp.int32),
+        aft2=jnp.sum(pass2_d).astype(jnp.int32),
+        aft3=jnp.sum(pass3_d).astype(jnp.int32),
         n_cand=st.n_cand,
         overflow_hints=overflow_hints.astype(jnp.int32),
         overflow_pass=st.overflow_pass,
@@ -466,12 +484,13 @@ class HostCandidateManager:
             self.order.append(gidx)
         cand.add_proposal(T, pairs, percs)
 
-    def tidy_candidates(self):
-        """tidyUpCandidates screens 1-2 (contour_db.h:494-545): area % and
-        distance censor. Returns candidates still alive (correlation screen is
-        applied by the caller after the batched GMM evaluation)."""
+    def tidy_stats(self):
+        """Per-candidate best-proposal selection + stats (tidyUpCandidates
+        loop head, contour_db.h:503-545). Returns [(cand, area, neg_d), ...]
+        in first-seen order; screening is applied by the caller (screens use
+        rising bars under DYNAMIC_THRES)."""
         cfg = self.cfg
-        alive = []
+        out = []
         for gidx in self.order:
             cand = self.by_gidx[gidx]
             idx_sel = 0
@@ -486,8 +505,6 @@ class HostCandidateManager:
                     idx_sel = i
             cand.props[0], cand.props[idx_sel] = cand.props[idx_sel], cand.props[0]
 
-            if cand.props[0].area_perc < cfg.thres_lb.sim_post.area_perc:
-                continue
             # distance censor in the sensor frame (getEstSensTF, correlation.h:287-296)
             T = cand.props[0].T
             nr, nc = cfg.cm.n_row, cfg.cm.n_col
@@ -497,10 +514,8 @@ class HostCandidateManager:
             tx = c * ox - s * oy + T[0] - ox
             ty = s * ox + c * oy + T[1] - oy
             neg_d = -math.hypot(tx * cfg.cm.reso_row, ty * cfg.cm.reso_col)
-            if neg_d < cfg.thres_lb.sim_post.neg_est_dist:
-                continue
-            alive.append(cand)
-        return alive
+            out.append((cand, cand.props[0].area_perc, neg_d))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -627,7 +642,29 @@ class ContourDB:
         if profiler:
             profiler.record("Constell")
 
-        pass3 = np.asarray(res.pass3)
+        if cfg.db.dynamic_thres:
+            # sequential re-gating with rising bars (contour_db.h:439-458)
+            lbs = np.array([cfg.thres_lb.sim_constell.i_ovlp_sum,
+                            cfg.thres_lb.sim_constell.i_ovlp_max_one,
+                            cfg.thres_lb.sim_constell.i_in_ang_rng,
+                            cfg.thres_lb.sim_pair.i_indiv_sim,
+                            cfg.thres_lb.sim_pair.i_orie_sim])
+            ubs = np.array([cfg.thres_ub.sim_constell.i_ovlp_sum,
+                            cfg.thres_ub.sim_constell.i_ovlp_max_one,
+                            cfg.thres_ub.sim_constell.i_in_ang_rng,
+                            cfg.thres_ub.sim_pair.i_indiv_sim,
+                            cfg.thres_ub.sim_pair.i_orie_sim])
+            p1 = np.asarray(res.pass1)
+            sc = np.stack([np.asarray(res.ovlp_sum), np.asarray(res.ovlp_max_one),
+                           np.asarray(res.in_ang_rng), np.asarray(res.i_indiv_sim),
+                           np.asarray(res.i_orie_sim)], axis=1)
+            pass3 = np.zeros(len(p1), bool)
+            for h in range(len(p1)):
+                if p1[h] and (sc[h] >= lbs).all():
+                    pass3[h] = True
+                    lbs = np.minimum(np.maximum(lbs, sc[h, 4]), ubs)
+        else:
+            pass3 = np.asarray(res.pass3)
         mgr = HostCandidateManager(cfg)
         if pass3.any():
             pv = np.asarray(res.pair_valid)
@@ -644,18 +681,18 @@ class ContourDB:
                 mgr.add_passing_hint(int(gidx_h[h]), T_all[h].astype(np.float64),
                                      pairs, percs)
 
-        alive = mgr.tidy_candidates()
-        if not alive:
+        stats = mgr.tidy_stats()
+        if not stats:
             if profiler:
                 profiler.record("L2 opt")
             return None
 
         # batched GMM init correlation (screen 3/3 of tidyUpCandidates)
-        C = len(alive)
+        C = len(stats)
         pad = max(self.gmm_pad, C)
         cg = np.zeros(pad, np.int32)
         Ti = np.zeros((pad, 3), np.float32)
-        for i, cand in enumerate(alive):
+        for i, (cand, _, _) in enumerate(stats):
             cg[i] = cand.gidx
             Ti[i] = cand.props[0].T
         src_gmm = _gather_gmm(self.store, jnp.asarray(cg), tuple(cfg.gmm.levels))
@@ -664,7 +701,24 @@ class ContourDB:
                                       scale=cfg.gmm.cov_dilate_scale)
         corr0 = np.asarray(corr0)
 
-        keep = [i for i in range(C) if corr0[i] >= cfg.thres_lb.sim_post.correlation]
+        post_lb = cfg.thres_lb.sim_post
+        if cfg.db.dynamic_thres:
+            post_ub = cfg.thres_ub.sim_post
+            bars = np.array([post_lb.area_perc, post_lb.neg_est_dist,
+                             post_lb.correlation])
+            ubars = np.array([post_ub.area_perc, post_ub.neg_est_dist,
+                              post_ub.correlation])
+            keep = []
+            for i, (cand, area, neg_d) in enumerate(stats):
+                v = np.array([area, neg_d, corr0[i]])
+                if (v >= bars).all():
+                    keep.append(i)
+                    bars = np.minimum(np.maximum(bars, v), ubars)
+        else:
+            keep = [i for i, (cand, area, neg_d) in enumerate(stats)
+                    if area >= post_lb.area_perc
+                    and neg_d >= post_lb.neg_est_dist
+                    and corr0[i] >= post_lb.correlation]
         if not keep:
             if profiler:
                 profiler.record("L2 opt")

@@ -188,6 +188,63 @@ def merge_proposals(pass3, gidx, T_delta, pair_valid, pair_level,
     return lax.cond(n_pass > 0, run, lambda st: st, init)
 
 
+def dynamic_pass_scan(pass1, ovlp_sum, ovlp_max1, in_ang, indiv, orie,
+                      lb, ub):
+    """DYNAMIC_THRES re-gating of the check cascade (contour_db.h:439-458).
+
+    Hints are re-gated sequentially: each full pass raises the working lower
+    bounds (all five count thresholds) to that hint's final pair count,
+    clamped by the upper-bound ensemble (alignLB/alignUB, algos.h:119-150).
+    Scores are threshold-independent, so this replays the reference's
+    sequential semantics on the batched cascade outputs.
+    Returns (pass2, pass3) under the dynamic bars.
+    """
+    init = jnp.array([lb.sim_constell.i_ovlp_sum, lb.sim_constell.i_ovlp_max_one,
+                      lb.sim_constell.i_in_ang_rng, lb.sim_pair.i_indiv_sim,
+                      lb.sim_pair.i_orie_sim], jnp.int32)
+    ubv = jnp.array([ub.sim_constell.i_ovlp_sum, ub.sim_constell.i_ovlp_max_one,
+                     ub.sim_constell.i_in_ang_rng, ub.sim_pair.i_indiv_sim,
+                     ub.sim_pair.i_orie_sim], jnp.int32)
+
+    def step(carry, x):
+        p1, ov, m1, ia, ind, oc = x
+        pass2 = p1 & (ov >= carry[0]) & (m1 >= carry[1]) & (ia >= carry[2])
+        pass3 = pass2 & (ind >= carry[3]) & (oc >= carry[4])
+        new = jnp.minimum(jnp.maximum(carry, oc), ubv)
+        return jnp.where(pass3, new, carry), (pass2, pass3)
+
+    _, (pass2, pass3) = lax.scan(
+        step, init, (pass1, ovlp_sum.astype(jnp.int32),
+                     ovlp_max1.astype(jnp.int32), in_ang.astype(jnp.int32),
+                     indiv.astype(jnp.int32), orie.astype(jnp.int32)))
+    return pass2, pass3
+
+
+def dynamic_post_scan(in_use, area, neg_d, corr0, lb_post, ub_post):
+    """DYNAMIC_THRES post-processing screens (contour_db.h:532-574).
+
+    Candidates are screened sequentially in first-seen order; each candidate
+    passing all three screens (area %, distance censor, init correlation)
+    raises the working lower bounds to its own scores, clamped by the upper
+    bounds. Returns the keep mask.
+    """
+    init = jnp.array([lb_post.area_perc, lb_post.neg_est_dist,
+                      lb_post.correlation], jnp.float32)
+    ubv = jnp.array([ub_post.area_perc, ub_post.neg_est_dist,
+                     ub_post.correlation], jnp.float32)
+
+    def step(carry, x):
+        use, a, d, c = x
+        keep = use & (a >= carry[0]) & (d >= carry[1]) & (c >= carry[2])
+        new = jnp.minimum(jnp.maximum(carry, jnp.stack([a, d, c])), ubv)
+        return jnp.where(keep, new, carry), keep
+
+    _, keep = lax.scan(step, init, (in_use, area.astype(jnp.float32),
+                                    neg_d.astype(jnp.float32),
+                                    corr0.astype(jnp.float32)))
+    return keep
+
+
 def _area_weights() -> jnp.ndarray:
     """(NUM_SLOTS,) weight of each dense slot = LAYER_AREA_WEIGHTS of its level."""
     w = [0.0] * N_LEV
@@ -197,19 +254,28 @@ def _area_weights() -> jnp.ndarray:
     return jnp.asarray(w, jnp.float32)[lev_of_slot]
 
 
+class TidyResult(NamedTuple):
+    alive: jnp.ndarray    # (C,) bool — static area + distance screens passed
+    in_use: jnp.ndarray   # (C,) bool — candidate row populated
+    T_sel: jnp.ndarray    # (C, 3) selected proposal transform
+    area: jnp.ndarray     # (C,) weighted constellation area percentage
+    neg_d: jnp.ndarray    # (C,) negated sensor-frame distance
+    votes: jnp.ndarray    # (C,) selected proposal votes
+    sel: jnp.ndarray      # (C,) selected proposal index
+
+
 def tidy_candidates(st: CandidateState, area_perc_lb: float,
                     neg_est_dist_lb: float, n_row: int, n_col: int,
-                    reso_row: float, reso_col: float):
+                    reso_row: float, reso_col: float) -> TidyResult:
     """Screens 1-2 of tidyUpCandidates (contour_db.h:494-545), vectorized.
 
     Per candidate: select the proposal with most votes (first wins ties, the
     reference's strictly-greater scan), screen by weighted constellation area
     percentage and by the negated estimated sensor-frame distance.
-    Returns (alive (C,), T_sel (C,3), area (C,), votes (C,), sel_idx (C,)).
     """
     C = st.cand_gidx.shape[0]
-    in_use = jnp.arange(P_PROP)[None, :] < st.prop_n[:, None]    # (C, 4)
-    votes_m = jnp.where(in_use, st.prop_votes, -1)
+    prop_use = jnp.arange(P_PROP)[None, :] < st.prop_n[:, None]  # (C, 4)
+    votes_m = jnp.where(prop_use, st.prop_votes, -1)
     sel = jnp.argmax(votes_m, axis=1)                            # first max
     rows = jnp.arange(C)
 
@@ -228,6 +294,7 @@ def tidy_candidates(st: CandidateState, area_perc_lb: float,
     ty = s * ox + c * oy + T_sel[:, 1] - oy
     neg_d = -jnp.hypot(tx * reso_row, ty * reso_col)
 
-    alive = (rows < st.n_cand) & (st.prop_n > 0) \
-        & (area >= area_perc_lb) & (neg_d >= neg_est_dist_lb)
-    return alive, T_sel, area, votes, sel
+    in_use = (rows < st.n_cand) & (st.prop_n > 0)
+    alive = in_use & (area >= area_perc_lb) & (neg_d >= neg_est_dist_lb)
+    return TidyResult(alive=alive, in_use=in_use, T_sel=T_sel, area=area,
+                      neg_d=neg_d, votes=votes, sel=sel)

@@ -21,7 +21,7 @@ from contour_context_tpu.config import PipelineConfig
 from contour_context_tpu.db import ContourDB, QueryHandle, drain_handles
 from contour_context_tpu.eval.evaluator import ContLCDEvaluator
 from contour_context_tpu.ops.descriptor import build_descriptor
-from contour_context_tpu.utils.io import pad_points, read_kitti_bin
+from contour_context_tpu.utils.io import pad_points
 from contour_context_tpu.utils.profiling import SequentialTimeProfiler
 
 DRAIN_BLOCK = 32   # query records fetched per host round trip
@@ -52,10 +52,13 @@ class LoopClosurePipeline:
         self.results: List[LoopResult] = []
         self.block = block_for_timing
         self._pending: deque = deque()   # (LaserScanInfo, QueryHandle|None)
+        # native C++ mmap reader when csrc/libcont2.so builds; numpy otherwise
+        from contour_context_tpu.utils.native_loader import read_bin_padded
         self._load_points: Callable[[str], np.ndarray] = \
-            lambda p: read_kitti_bin(p, cfg.cm.max_points)
+            lambda p: read_bin_padded(p, cfg.cm.max_points)
 
     def set_point_loader(self, fn: Callable[[str], np.ndarray]) -> None:
+        """Override the scan loader; may return (N,3) xyz or padded (P,4)."""
         self._load_points = fn
 
     def _process(self, info, res) -> None:
@@ -97,10 +100,11 @@ class LoopClosurePipeline:
         self.stp.lap()
         self.stp.start()
         pts = self._load_points(info.fpath)
+        if pts.ndim != 2 or pts.shape != (cfg.cm.max_points, 4):
+            pts = pad_points(pts, cfg.cm.max_points)
         # one upload per scan: points + timestamp ride together; everything
         # downstream (descriptor, query, window update) is device-resident
-        dev_pts, dev_ts = jax.device_put(
-            (pad_points(pts, cfg.cm.max_points), np.float32(info.ts)))
+        dev_pts, dev_ts = jax.device_put((pts, np.float32(info.ts)))
         desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
         if self.block:
             jax.block_until_ready(desc)

@@ -72,6 +72,34 @@ def test_fused_matches_host():
     assert db.counters["overflow_cand"] == 0
 
 
+@pytest.mark.slow
+def test_fused_matches_host_dynamic_thres():
+    """Same parity under DYNAMIC_THRES=1 (rising lower bounds)."""
+    from contour_context_tpu.config import ContourDBConfig
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384),
+                         db=ContourDBConfig(max_check_cands=1024,
+                                            max_pass_hints=128,
+                                            dynamic_thres=True))
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses.append((10.5, 0.8, 0.2))
+    poses.append((30.0, -1.0, -0.15))
+
+    _, outcomes = drive(world, poses, 6.0, cfg)
+    n_found = 0
+    for i, r_dev, r_host in outcomes:
+        if r_host is None:
+            assert r_dev is None, (i, r_dev)
+            continue
+        assert r_dev is not None, (i, r_host)
+        n_found += 1
+        assert r_dev[0] == r_host[0], (i, r_dev, r_host)
+        np.testing.assert_allclose(r_dev[1], r_host[1], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(r_dev[2], r_host[2], rtol=1e-3, atol=1e-3)
+    assert n_found >= 1, outcomes
+
+
 def test_merge_proposals_vs_host_replica():
     """Randomized proposal streams: device merge == host AnchorProp merge."""
     import jax.numpy as jnp
@@ -108,9 +136,9 @@ def test_merge_proposals_vs_host_replica():
             jnp.asarray(pv), jnp.asarray(plev), jnp.asarray(pss),
             jnp.asarray(pst), jnp.asarray(perc),
             n_cand_max=8, n_pass_max=64)
-        alive, T_sel, area, votes, sel = tidy_candidates(
-            st, -1.0, -1e9, cfg.cm.n_row, cfg.cm.n_col,
-            cfg.cm.reso_row, cfg.cm.reso_col)
+        tt = tidy_candidates(st, -1.0, -1e9, cfg.cm.n_row, cfg.cm.n_col,
+                             cfg.cm.reso_row, cfg.cm.reso_col)
+        T_sel, area, votes = tt.T_sel, tt.area, tt.votes
 
         mgr = HostCandidateManager(cfg)
         for h in range(H):
@@ -121,7 +149,7 @@ def test_merge_proposals_vs_host_replica():
             percs = [float(perc[h, j]) for j in range(P) if pv[h, j]]
             mgr.add_passing_hint(int(gidx[h]), T[h].astype(np.float64),
                                  pairs, percs)
-        cands = mgr.tidy_candidates()  # no screens (lb set permissive above)
+        stats = mgr.tidy_stats()
 
         st = type(st)(*[np.asarray(x) for x in st])
         assert int(st.n_cand) == len(mgr.order), trial
@@ -129,11 +157,13 @@ def test_merge_proposals_vs_host_replica():
             assert int(st.cand_gidx[ci]) == g
             host_cand = mgr.by_gidx[g]
             assert int(st.prop_n[ci]) == len(host_cand.props), (trial, ci)
-        # tidy selection parity (mgr.tidy_candidates swapped best to front)
-        for cand in cands:
+        # tidy selection parity (tidy_stats swapped best prop to front)
+        for cand, area_h, negd_h in stats:
             ci = mgr.order.index(cand.gidx)
             np.testing.assert_allclose(np.asarray(T_sel)[ci],
                                        cand.props[0].T, atol=1e-4)
             np.testing.assert_allclose(float(np.asarray(area)[ci]),
-                                       cand.props[0].area_perc, atol=1e-5)
+                                       area_h, atol=1e-5)
+            np.testing.assert_allclose(float(np.asarray(tt.neg_d)[ci]),
+                                       negd_h, atol=1e-4)
             assert int(np.asarray(votes)[ci]) == cand.props[0].vote_cnt
