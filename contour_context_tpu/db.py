@@ -584,6 +584,53 @@ class ContourDB:
         self.state = _update_window(self.state, self.ts_store, curr_ts,
                                     tb.min_elapse, tb.max_elapse)
 
+    # -- checkpoint / resume ------------------------------------------------
+    # The reference has no persistence (SURVEY.md §5: the DB is rebuilt by
+    # replaying the sequence); device arrays make it trivial. NOTE: save()
+    # fetches device data — on tunneled runtimes do it only after the
+    # streaming epoch (the first D2H degrades the process; see README).
+
+    def save(self, path: str) -> None:
+        """Serialize the populated rows + window state + metadata to .npz."""
+        assert self.store is not None, "empty DB"
+        n = self.n
+        host_store = jax.device_get(jax.tree.map(lambda a: a[:n], self.store))
+        state = np.asarray(jax.device_get(self.state))
+        ts_store = np.asarray(jax.device_get(self.ts_store))[:n]
+        arrays = {f"store_{i}": leaf
+                  for i, leaf in enumerate(jax.tree.leaves(host_store))}
+        np.savez_compressed(
+            path, n=n, capacity=self.capacity, state=state, ts_store=ts_store,
+            seq_of_gidx=np.asarray(self.seq_of_gidx, np.int64),
+            ts=np.asarray(self.ts, np.float64),
+            counters=np.asarray([self.counters[k] for k in sorted(self.counters)],
+                                np.int64),
+            **arrays)
+
+    @classmethod
+    def load(cls, path: str, cfg: PipelineConfig,
+             capacity: Optional[int] = None) -> "ContourDB":
+        """Restore a DB checkpoint; capacity may be grown on load."""
+        z = np.load(path)
+        n = int(z["n"])
+        cap = capacity or int(z["capacity"])
+        assert cap >= n, "capacity smaller than stored rows"
+        db = cls(cfg, capacity=cap)
+        leaves = [z[f"store_{i}"] for i in range(len(ScanDesc._fields))]
+        treedef = jax.tree.structure(ScanDesc(*ScanDesc._fields))
+        host_store = jax.tree.unflatten(treedef, leaves)
+        db.store = jax.tree.map(
+            lambda a: jnp.zeros((cap,) + a.shape[1:], a.dtype).at[:n].set(a),
+            host_store)
+        db.ts_store = jnp.zeros((cap,), jnp.float32).at[:n].set(z["ts_store"])
+        db.state = jnp.asarray(z["state"], jnp.int32)
+        db.n = n
+        db.seq_of_gidx = [int(x) for x in z["seq_of_gidx"]]
+        db.ts = [float(x) for x in z["ts"]]
+        for k, v in zip(sorted(db.counters), z["counters"]):
+            db.counters[k] = int(v)
+        return db
+
     # -- query ------------------------------------------------------------
 
     def query_async(self, query: ScanDesc) -> Optional[QueryHandle]:

@@ -44,13 +44,18 @@ class LoopClosurePipeline:
     """Streaming per-scan loop: the reference's BatchBinSpinner equivalent."""
 
     def __init__(self, cfg: PipelineConfig, evaluator: ContLCDEvaluator,
-                 capacity: int = 8192, block_for_timing: bool = False):
+                 capacity: int = 8192, block_for_timing: bool = False,
+                 save_mid_dir: Optional[str] = None):
         self.cfg = cfg
         self.evaluator = evaluator
         self.db = ContourDB(cfg, capacity)
         self.stp = SequentialTimeProfiler("cont2-tpu batch")
         self.results: List[LoopResult] = []
         self.block = block_for_timing
+        # SAVE_MID_FILE equivalent (contour_mng.h:547-555, CMakeLists.txt:17):
+        # per-scan contour dumps + BEV images. Debug only: it fetches the
+        # descriptor to host every scan, which is slow on tunneled runtimes.
+        self.save_mid_dir = save_mid_dir
         self._pending: deque = deque()   # (LaserScanInfo, QueryHandle|None)
         # native C++ mmap reader when csrc/libcont2.so builds; numpy otherwise
         from contour_context_tpu.utils.native_loader import read_bin_padded
@@ -109,6 +114,21 @@ class LoopClosurePipeline:
         if self.block:
             jax.block_until_ready(desc)
         self.stp.record("make bev")
+        if self.save_mid_dir is not None:
+            import os
+
+            from contour_context_tpu.ops.descriptor import rasterize_bev
+            from contour_context_tpu.utils.dumps import (
+                save_bev_image, save_contours)
+
+            host_desc = jax.device_get(desc)
+            save_contours(os.path.join(
+                self.save_mid_dir, "contours-%06d.txt" % info.seq),
+                host_desc, cfg.cm)
+            bev, _, _ = rasterize_bev(dev_pts, cfg.cm)
+            save_bev_image(os.path.join(
+                self.save_mid_dir, "bev-%06d.png" % info.seq),
+                np.asarray(bev).reshape(cfg.cm.n_row, cfg.cm.n_col))
 
         handle = self.db.query_async(desc)
         if self.block and handle is not None:

@@ -1,0 +1,50 @@
+"""DB checkpoint round-trip: save -> load -> identical query results."""
+
+import numpy as np
+
+from synth import make_world, render_scan
+
+from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+from contour_context_tpu.db import ContourDB
+from contour_context_tpu.ops.descriptor import build_descriptor
+from contour_context_tpu.utils.io import pad_points
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+
+    db = ContourDB(cfg, capacity=16)
+    for i, pose in enumerate(poses):
+        pts = render_scan(world, pose, seed=500 + i)
+        desc = build_descriptor(pad_points(pts, cfg.cm.max_points), cfg.cm, cfg.gmm)
+        db.add_scan(desc, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   cfg.cm.max_points), cfg.cm, cfg.gmm)
+    r0 = db.query_ranged_knn(q)
+    assert r0 is not None
+
+    path = str(tmp_path / "db.npz")
+    db.save(path)
+    db2 = ContourDB.load(path, cfg, capacity=32)   # grown capacity
+    assert db2.n == db.n
+    assert db2.seq_of_gidx == db.seq_of_gidx
+    assert db2.searchable_n == db.searchable_n
+
+    r1 = db2.query_ranged_knn(q)
+    assert r1 is not None
+    assert r1[0] == r0[0]
+    np.testing.assert_allclose(r1[1], r0[1], rtol=1e-4)
+    np.testing.assert_allclose(r1[2], r0[2], rtol=1e-4, atol=1e-5)
+
+    # the restored DB keeps streaming: appends + window updates still work
+    pts = render_scan(world, (80.0, 0.0, 0.0), seed=901)
+    desc = build_descriptor(pad_points(pts, cfg.cm.max_points), cfg.cm, cfg.gmm)
+    db2.add_scan(desc, 8, 48.0)
+    db2.push_and_balance(48.0)
+    assert db2.n == db.n + 1
+    assert db2.searchable_n >= db.searchable_n
