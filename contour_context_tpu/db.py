@@ -88,15 +88,9 @@ def _update_window(state, ts_store, curr_ts, min_elapse: float,
     Pop triggers when the oldest unpopped scan is older than max_elapse; then
     every scan older than min_elapse becomes searchable (TreeBucket semantics,
     contour_db.h:102-143). Timestamps are monotone in a stream, so the new
-    pop pointer is a masked count.
+    pop pointer is a masked count (see _update_window_impl below).
     """
-    n, pop_ptr = state[0], state[1]
-    idx = jnp.arange(ts_store.shape[0], dtype=jnp.int32)
-    oldest = ts_store[jnp.clip(pop_ptr, 0, ts_store.shape[0] - 1)]
-    trigger = (pop_ptr < n) & (oldest <= curr_ts - max_elapse)
-    k = jnp.sum((idx < n) & (ts_store < curr_ts - min_elapse)).astype(jnp.int32)
-    new_pop = jnp.where(trigger, jnp.maximum(k, pop_ptr), pop_ptr)
-    return state.at[1].set(new_pop)
+    return _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse)
 
 
 def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
@@ -273,20 +267,17 @@ def _unpack_record(v: np.ndarray) -> QueryRecord:
         overflow_cand=int(v[13]))
 
 
-@functools.partial(jax.jit, static_argnames=("pcfg",))
-def _query_step(store: ScanDesc, query: ScanDesc, state,
-                pcfg: PipelineConfig) -> QueryRecord:
-    """queryRangedKNN (contour_db.h:698-811) as ONE device dispatch.
+def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
+                     pcfg: PipelineConfig):
+    """queryRangedKNN (contour_db.h:698-811) as one fused computation.
 
-    `state` is the DB's device window state (n, pop_ptr); rows below pop_ptr
-    are searchable. Everything else (store, query) is device-resident, so a
-    query costs zero host->device transfers.
+    Rows below `searchable_n` are searchable. Everything (store, query) is
+    device-resident, so a query costs zero host->device transfers.
     """
     cfg = pcfg
     q_levels = tuple(cfg.db.q_levels)
     nnk = cfg.db.nnk
     N = store.keys.shape[0]
-    searchable_n = state[1]
 
     gidx, seq_src, dist, valid = _search_impl(
         store.keys, query.keys, searchable_n, q_levels, nnk)
@@ -372,6 +363,69 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
     ))
 
 
+@functools.partial(jax.jit, static_argnames=("pcfg",))
+def _query_step(store: ScanDesc, query: ScanDesc, state,
+                pcfg: PipelineConfig):
+    return _query_step_impl(store, query, state[1], pcfg)
+
+
+def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
+    n, pop_ptr = state[0], state[1]
+    idx = jnp.arange(ts_store.shape[0], dtype=jnp.int32)
+    oldest = ts_store[jnp.clip(pop_ptr, 0, ts_store.shape[0] - 1)]
+    trigger = (pop_ptr < n) & (oldest <= curr_ts - max_elapse)
+    k = jnp.sum((idx < n) & (ts_store < curr_ts - min_elapse)).astype(jnp.int32)
+    new_pop = jnp.where(trigger, jnp.maximum(k, pop_ptr), pop_ptr)
+    return state.at[1].set(new_pop)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("pcfg",))
+def _process_block(store: ScanDesc, ts_store, state, descs: ScanDesc, ts_b,
+                   pcfg: PipelineConfig):
+    """Batched throughput mode: append + query a block of B scans at once.
+
+    EXACT sequential parity: the reference's per-scan order is
+    query_i (window after pushes <= i-1) -> add_i -> push(t_i); scans are
+    appended first (their timestamps exceed every query's min_elapse cut, so
+    they are invisible to the block's searches — the >=15 s exclusion window
+    makes intra-block independence a theorem, SURVEY.md §2.6), then each
+    query's searchable prefix is replayed with a scan over the window updates,
+    and the B queries run under vmap.
+
+    Returns (store', ts_store', state', records (B, RECORD_WIDTH)).
+    """
+    B = ts_b.shape[0]
+    tb = pcfg.db.tb
+
+    def append_one(carry, x):
+        st_store, st_ts, st_state = carry
+        desc, t = x
+        n = st_state[0]
+        st_store = jax.tree.map(
+            lambda buf, v: jax.lax.dynamic_update_index_in_dim(buf, v, n, 0),
+            st_store, desc)
+        st_ts = jax.lax.dynamic_update_index_in_dim(
+            st_ts, jnp.asarray(t, st_ts.dtype), n, 0)
+        return (st_store, st_ts, st_state.at[0].add(1)), None
+
+    (store, ts_store, state), _ = jax.lax.scan(
+        append_one, (store, ts_store, state), (descs, ts_b))
+
+    # per-query window state: query b sees pushes of t_0..t_{b-1}
+    def push_one(carry, t_prev):
+        new = _update_window_impl(carry, ts_store, t_prev,
+                                  tb.min_elapse, tb.max_elapse)
+        return new, carry[1]
+
+    state, searchable_b = jax.lax.scan(push_one, state, ts_b)
+
+    recs = jax.vmap(
+        lambda q, sn: _query_step_impl(store, q, sn, pcfg),
+        in_axes=(0, 0))(descs, searchable_b)
+    return store, ts_store, state, recs
+
+
 class QueryHandle:
     """Deferred query result: a packed device record vector not yet fetched.
 
@@ -400,6 +454,30 @@ class QueryHandle:
             rec = self._host
             return (rec.gidx, rec.corr, rec.T) if rec.found else None
         return self._finish(jax.device_get(self.rec))
+
+
+class BlockHandle:
+    """Deferred results of a processed block: (B, RECORD_WIDTH) on device."""
+
+    __slots__ = ("recs", "_db", "_host")
+
+    def __init__(self, recs: jnp.ndarray, db: "ContourDB"):
+        self.recs = recs
+        self._db = db
+        self._host = None
+
+    def get(self) -> list:
+        """Fetch the block's results: one host copy, list of per-scan
+        (gidx, corr, T3) or None, in scan order."""
+        if self._host is None:
+            mat = np.asarray(jax.device_get(self.recs))
+            out = []
+            for row in mat:
+                rec = _unpack_record(row)
+                self._db._accumulate_counters(rec)
+                out.append((rec.gidx, rec.corr, rec.T) if rec.found else None)
+            self._host = out
+        return self._host
 
 
 def drain_handles(handles) -> list:
@@ -630,6 +708,31 @@ class ContourDB:
         for k, v in zip(sorted(db.counters), z["counters"]):
             db.counters[k] = int(v)
         return db
+
+    # -- batched throughput mode -------------------------------------------
+
+    def process_block_async(self, descs: ScanDesc, seqs, ts_b) -> "BlockHandle":
+        """Append + query a whole block of B scans in one dispatch.
+
+        `descs` is a B-stacked ScanDesc (vmapped build_descriptor output),
+        `ts_b` a (B,) device f32 of timestamps. Exact sequential parity with
+        per-scan query/add/push ordering (see _process_block). The per-scan
+        records come back through one BlockHandle."""
+        B = int(ts_b.shape[0])
+        assert B == len(seqs)
+        if self.store is None:
+            self.store = jax.tree.map(
+                lambda x: jnp.zeros((self.capacity,) + x.shape[1:], x.dtype),
+                descs)
+            self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
+            self.state = jnp.zeros((2,), jnp.int32)
+        assert self.n + B <= self.capacity, "DB capacity exceeded"
+        self.store, self.ts_store, self.state, recs = _process_block(
+            self.store, self.ts_store, self.state, descs,
+            jnp.asarray(ts_b, jnp.float32), self.cfg)
+        self.seq_of_gidx.extend(int(s) for s in seqs)
+        self.n += B
+        return BlockHandle(recs, self)
 
     # -- query ------------------------------------------------------------
 

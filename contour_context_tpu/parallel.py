@@ -100,3 +100,33 @@ def dp_build_descriptors(points_batch, cfg: ContourManagerConfig,
         return jax.vmap(lambda p: build_descriptor(p, cfg, gmm_cfg))(pb)
 
     return batch_build(points_batch, cfg, gmm_cfg)
+
+
+def shard_store(store, mesh: Mesh):
+    """Lay the DB store's scan axis out over the mesh's "data" axis.
+
+    The capacity axis (leading) of every ScanDesc buffer is row-sharded; the
+    brute-force key search then scans only local rows per device and GSPMD
+    inserts the top-k combine over ICI."""
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), store)
+
+
+def sharded_query_step(store, query, state, pcfg: PipelineConfig, mesh: Mesh):
+    """The fused query step over a row-sharded store.
+
+    store: ScanDesc with leading (capacity) axis sharded over "data";
+    query/state replicated. GSPMD partitions the search (each device scans its
+    rows) and gathers the <=max_check_cands candidate rows for the cascade;
+    the result record is replicated. Semantically identical to the single-chip
+    db._query_step."""
+    from contour_context_tpu.db import _query_step_impl
+
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, static_argnames=("pcfg",),
+                       out_shardings=rep)
+    def step(store, query, state, pcfg):
+        return _query_step_impl(store, query, state[1], pcfg)
+
+    return step(store, query, state, pcfg)
