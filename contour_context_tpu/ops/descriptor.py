@@ -423,7 +423,16 @@ def gmm_summary(tab: dict, gmm_cfg: GMMOptConfig):
 @functools.partial(jax.jit, static_argnames=("cfg", "gmm_cfg"))
 def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
                      gmm_cfg: GMMOptConfig = GMMOptConfig()) -> ScanDesc:
-    """points (P, 4) [x y z valid] -> ScanDesc. Jit-compiled once per shape."""
+    """points (P, 4) [x y z valid] -> ScanDesc. Jit-compiled once per shape.
+
+    Accepts the int16 fixed-point wire format (utils/io.quantize_points_q16,
+    1/256 m steps) and dequantizes on device — half the upload bytes on
+    bandwidth-limited host links.
+    """
+    if points.dtype == jnp.int16:
+        pf = points.astype(jnp.float32)
+        points = jnp.concatenate([pf[:, :3] * (1.0 / 256.0), pf[:, 3:4]],
+                                 axis=1)
     nr, nc = cfg.n_row, cfg.n_col
     bev, rowf, colf = rasterize_bev(points, cfg)
     grads = jnp.array(cfg.lv_grads, jnp.float32)

@@ -10,6 +10,7 @@ Reference behaviors:
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass
 from typing import List, Optional
@@ -43,6 +44,23 @@ def pad_points(pts: np.ndarray, max_points: int) -> np.ndarray:
     out[:n, 3] = 1.0
     out[n:, 0] = 1e6
     return out
+
+
+# fixed-point transport: 1/256 m steps, +-120 m range (LiDAR is cm-accurate,
+# the BEV grid is 1 m — 4 mm quantization is far below the noise floor)
+POINT_Q16_SCALE = 256.0
+_Q16_CLIP = 120.0
+
+
+def quantize_points_q16(padded: np.ndarray) -> np.ndarray:
+    """(P, 4) f32 padded cloud -> (P, 4) int16 wire format (halves upload
+    bytes on bandwidth-limited links). Invalid rows map to flag 0 with an
+    out-of-range sentinel handled at dequantization."""
+    q = np.empty(padded.shape, np.int16)
+    xyz = np.clip(padded[:, :3], -_Q16_CLIP, _Q16_CLIP)
+    q[:, :3] = np.round(xyz * POINT_Q16_SCALE).astype(np.int16)
+    q[:, 3] = (padded[:, 3] > 0).astype(np.int16)
+    return q
 
 
 @dataclass
@@ -202,6 +220,93 @@ def gen_mulran_dataset(dir_bins: str, f_global_pose: str, sav_pos: str, sav_lid:
         f1.write("\n".join(
             "%.6f %d %s" % (int(fn.split(".")[0]) * 1e-9, i, os.path.join(dir_bins, fn))
             for i, fn in enumerate(bins)))
+
+
+def format_mulran_as_kitti(f_bin_info: str, dir_as_kitti: str) -> int:
+    """Copy the listed MulRan .bin files into a KITTI-layout directory as
+    %06d.bin (scripts/format_mulran_as_kitti.py). Returns the copy count."""
+    import shutil
+
+    with open(f_bin_info) as f:
+        bins = [ln.strip() for ln in f if ln.strip()]
+    os.makedirs(dir_as_kitti, exist_ok=True)
+    for i, src in enumerate(bins):
+        shutil.copy2(src, os.path.join(dir_as_kitti, "%06d.bin" % i))
+    return len(bins)
+
+
+def raw_kitti_ts_to_seconds(ts_path: str, float_path: str) -> None:
+    """KITTI-raw human-readable timestamps -> float seconds, one per line
+    (scripts/raw_ts_to_sec.py). Sub-microsecond digits are truncated like the
+    reference's `line[:-4]` slice."""
+    import datetime
+
+    out = []
+    with open(ts_path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            dt = datetime.datetime.strptime(line[:-4], "%Y-%m-%d %H:%M:%S.%f")
+            out.append("%s\n" % dt.timestamp())
+    with open(float_path, "w") as f:
+        f.writelines(out)
+
+
+def read_oxts_poses(kitti_raw_dir: str, date: str, seq: str):
+    """KITTI-raw OXTS (GNSS/IMU) -> velodyne-frame SE(3) poses.
+
+    Parity with ReadKITTILiDAR (io_bin.h:28-148): mercator projection with
+    the first frame's latitude scale, zyx Euler rotation, re-based to the
+    first frame, composed with the imu->velodyne extrinsic from
+    calib_imu_to_velo.txt. Returns a list of 4x4 float64 poses (T_w_velod).
+    """
+    calib_path = os.path.join(kitti_raw_dir, date, "calib_imu_to_velo.txt")
+    R_iv = np.eye(3)
+    t_iv = np.zeros(3)
+    with open(calib_path) as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] == "R:":
+                R_iv = np.array([float(x) for x in parts[1:10]]).reshape(3, 3)
+            elif parts and parts[0] == "T:":
+                t_iv = np.array([float(x) for x in parts[1:4]])
+    T_imu_velod = np.eye(4)
+    T_imu_velod[:3, :3] = R_iv
+    T_imu_velod[:3, 3] = t_iv
+
+    oxts_dir = os.path.join(kitti_raw_dir, date, seq, "oxts", "data")
+    poses = []
+    scale = None
+    trans_orig = None
+    er = 6378137.0
+    idx = 0
+    while True:
+        p = os.path.join(oxts_dir, "%010d.txt" % idx)
+        if not os.path.exists(p):
+            break
+        dat = np.loadtxt(p).reshape(-1)
+        lat, lon, alt, roll, pitch, yaw = dat[:6]
+        if scale is None:
+            scale = math.cos(lat * math.pi / 180.0)
+        trans = np.array([scale * lon * math.pi * er / 180.0,
+                          scale * er * math.log(math.tan((90 + lat) * math.pi / 360.0)),
+                          alt])
+        cr, sr = math.cos(roll), math.sin(roll)
+        cp, sp = math.cos(pitch), math.sin(pitch)
+        cy, sy = math.cos(yaw), math.sin(yaw)
+        Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        R = Rz @ Ry @ Rx
+        if trans_orig is None:
+            trans_orig = trans.copy()
+        T_w_imu = np.eye(4)
+        T_w_imu[:3, :3] = R
+        T_w_imu[:3, 3] = trans - trans_orig
+        poses.append(T_w_imu @ np.linalg.inv(T_imu_velod))
+        idx += 1
+    return poses
 
 
 def gen_kitti_dataset(dir_bins: str, f_pose: str, f_times: str, f_calib: str,

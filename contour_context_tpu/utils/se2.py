@@ -73,6 +73,21 @@ def eval_metric_est(T_delta: np.ndarray, gt_src_3d: np.ndarray, gt_tgt_3d: np.nd
     return se2_inv(T_gt_2d) @ T_est_sens
 
 
+def estimate_tf_2pt(s1, s2, t1, t2) -> np.ndarray:
+    """Closed-form SE(2) from two point correspondences (algos.h:29-43).
+
+    Rotation aligns the segment s1->s2 with t1->t2; translation places the
+    segment midpoints onto each other. Used by the reference's legacy
+    (non-umeyama) path; provided for completeness."""
+    s1, s2, t1, t2 = (np.asarray(v, np.float64) for v in (s1, s2, t1, t2))
+    vs = s2 - s1
+    vt = t2 - t1
+    ang = math.atan2(vs[0] * vt[1] - vs[1] * vt[0], float(vs @ vt))
+    T = se2_mat(0.0, 0.0, ang)
+    T[:2, 2] = 0.5 * (t1 + t2 - T[:2, :2] @ (s1 + s2))
+    return T
+
+
 def umeyama_2d(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
     """Rigid (no-scale) 2-D umeyama: T with tgt ~= T @ src (contour_mng.h:1267).
 

@@ -86,6 +86,37 @@ def test_bcis(built):
                                        atol=1e-4)
 
 
+def test_quantized_transport_parity(scene, built):
+    """int16 wire format (1/256 m) reproduces the f32 descriptor closely."""
+    import jax.numpy as jnp
+
+    from contour_context_tpu.ops.descriptor import build_descriptor
+    from contour_context_tpu.utils.io import quantize_points_q16
+
+    _, d32 = built
+    q = quantize_points_q16(pad_points(scene, CFG.max_points))
+    dq = build_descriptor(jnp.asarray(q), CFG)
+    # 4 mm quantization can flip points sitting exactly on cell boundaries,
+    # shifting a cell between contours: require 99% of key elements tight and
+    # every element within 10% relative
+    kq = np.asarray(dq.keys)
+    k32 = np.asarray(d32.keys)
+    close = np.isclose(kq, k32, atol=0.15, rtol=0.02)
+    assert close.mean() > 0.99, (1 - close.mean())
+    np.testing.assert_allclose(kq, k32, atol=0.3, rtol=0.1)
+    # a cell flip can swap the order of near-equal contours, so match means
+    # set-wise per level: every big f32 contour has a quantized counterpart
+    mq = np.asarray(dq.mean)
+    vq = np.asarray(dq.valid)
+    for lev in range(CFG.n_levels):
+        big = (d32.cnt[lev] > 20) & d32.valid[lev]
+        cand = mq[lev][vq[lev]]
+        for m in d32.mean[lev][big]:
+            d = np.linalg.norm(cand - m, axis=1).min()
+            assert d < 0.1, (lev, m, d)
+    assert abs(int(np.asarray(dq.n_cont).sum()) - int(d32.n_cont.sum())) <= 2
+
+
 def test_gmm_summary(built):
     from contour_context_tpu.config import GMMOptConfig
 

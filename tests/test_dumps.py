@@ -96,3 +96,23 @@ def test_bev_image_and_plot_scripts(tmp_path):
                          str(tmp_path / "g.png")], cwd=root, env=env,
                         capture_output=True, text=True, timeout=120)
     assert r3.returncode == 0, r3.stderr
+
+    # loop visualization (spinner_ros analog) over a tiny synthetic outcome
+    fp_pose = str(tmp_path / "pose.txt")
+    rows = []
+    for i in range(5):
+        T = np.eye(4)
+        T[0, 3] = 10.0 * i
+        rows.append("%.6f %s" % (6.0 * i, " ".join(
+            "%.6f" % v for v in T[:3, :4].reshape(-1))))
+    open(fp_pose, "w").write("\n".join(rows))
+    fp_out = str(tmp_path / "outcome.txt")
+    open(fp_out, "w").write(
+        "2\t0-x\t0\t0\t0\t0\ta\tx\n"
+        "0\t3-0\t0.9\t0.1\t0.1\t0.01\ta\tb\n"
+        "1\t4-1\t0.8\t0.2\t0.2\t0.02\ta\tb\n")
+    r4 = subprocess.run([sys.executable, "scripts/plot_loops.py", fp_pose,
+                         fp_out, str(tmp_path / "loops.png")], cwd=root,
+                        env=env, capture_output=True, text=True, timeout=120)
+    assert r4.returncode == 0, r4.stderr
+    assert os.path.exists(str(tmp_path / "loops.png"))

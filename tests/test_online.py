@@ -1,0 +1,83 @@
+"""Online streaming mode: detections on a live feed + pause/resume control."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from synth import make_world, render_scan
+
+from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+from contour_context_tpu.online import OnlineSpinner
+
+
+@pytest.mark.slow
+def test_online_stream_with_control(tmp_path):
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses.append((10.5, 0.8, 0.2))    # revisit pose 1
+    poses.append((30.0, -1.0, -0.15))  # revisit pose 3
+
+    hits = []
+    ctrl = str(tmp_path / "status")
+    sp = OnlineSpinner(cfg, capacity=16, on_loop=hits.append,
+                       control_file=ctrl, drain_block=2)
+    sp.start()
+    for i, pose in enumerate(poses):
+        pts = render_scan(world, pose, seed=500 + i)
+        assert sp.feed(pts, i, 6.0 * i, timeout=120)
+        if i == 4:   # exercise the control file round trip mid-stream
+            open(ctrl, "w").write("pause")
+            # generous deadline: the spinner may be inside a long first
+            # compile before it polls the control file again
+            deadline = time.time() + 240
+            while not sp._paused.is_set() and time.time() < deadline:
+                time.sleep(0.05)
+            assert sp._paused.is_set()
+            open(ctrl, "w").write("resume")
+    sp.finish()
+
+    assert sp.n_processed == len(poses)
+    found = {d.q_seq: d for d in sp.detections
+             if d.correlation >= cfg.correlation_thres}
+    assert set(found) == {8, 9}, sp.detections
+    assert found[8].cand_seq == 1
+    assert found[9].cand_seq == 3
+    assert hits  # callback fired
+
+    # terminate() stops accepting scans
+    sp2 = OnlineSpinner(cfg, capacity=4)
+    sp2.terminate()
+    assert not sp2.feed(np.zeros((10, 3), np.float32), 0, 0.0)
+
+
+def test_io_small_utils(tmp_path):
+    from contour_context_tpu.utils.io import (
+        format_mulran_as_kitti,
+        raw_kitti_ts_to_seconds,
+    )
+
+    # format_mulran_as_kitti: copies listed bins into %06d.bin layout
+    srcs = []
+    for i in range(3):
+        p = str(tmp_path / ("raw_%d.bin" % i))
+        np.full(8, i, np.float32).tofile(p)
+        srcs.append(p)
+    lst = str(tmp_path / "used_bins.txt")
+    open(lst, "w").write("\n".join(srcs) + "\n")
+    outdir = str(tmp_path / "velodyne")
+    assert format_mulran_as_kitti(lst, outdir) == 3
+    got = np.fromfile(os.path.join(outdir, "000002.bin"), np.float32)
+    np.testing.assert_array_equal(got, np.full(8, 2, np.float32))
+
+    # raw_kitti_ts_to_seconds
+    tsf = str(tmp_path / "timestamps.txt")
+    open(tsf, "w").write("2011-09-30 12:10:57.392236000\n"
+                         "2011-09-30 12:10:57.495450000\n")
+    outf = str(tmp_path / "sec.txt")
+    raw_kitti_ts_to_seconds(tsf, outf)
+    vals = [float(x) for x in open(outf)]
+    assert len(vals) == 2
+    assert 0.05 < vals[1] - vals[0] < 0.2
