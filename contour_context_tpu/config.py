@@ -71,6 +71,8 @@ class ContourManagerConfig:
     # TPU capacity knobs (not in reference; dense-table bounds)
     max_contours: int = MAX_CONTOURS_PER_LEVEL
     max_points: int = 131072   # point-cloud pad size (KITTI HDL-64E: ~120-130k)
+    pix_pool: int = 4096       # above-gate pixel pool for the ring keys
+                               # (KITTI-style scenes occupy ~2-6k of 22.5k cells)
     view_stat: ContourViewStatConfig = field(default_factory=ContourViewStatConfig)
 
     @property
@@ -162,8 +164,11 @@ class ContourDBConfig:
     tb: TreeBucketConfig = field(default_factory=TreeBucketConfig)
     # TPU capacity knobs
     key_capacity: int = 65536     # HBM key-matrix rows per query level (grows are a re-alloc)
-    max_check_cands: int = 128    # candidate hints compacted into the batched check cascade
-    max_pass_hints: int = 64      # cascade survivors fed to the on-device proposal merge
+    max_check_cands: int = 512    # candidate hints compacted into the batched check cascade
+                                  # (KITTI averages ~18 hits/scan; dense/self-similar scenes
+                                  # can spike into the hundreds — the cost is flat on TPU and
+                                  # overflow is counted in ContourDB.counters)
+    max_pass_hints: int = 128     # cascade survivors fed to the on-device proposal merge
     max_cand_poses: int = 32      # candidate pose rows in the on-device CandidateManager
     dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
 

@@ -110,13 +110,20 @@ def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
     searchable = scan_of_row < searchable_n
     q_valid = jnp.abs(q).sum(-1) > 0                        # (Q, A)
 
-    d2 = jnp.sum((q[:, :, None, :] - rows[:, None, :, :]) ** 2, axis=-1)
+    # MXU-shaped distance: |q|^2 + |r|^2 - 2 q.r^T (the cross term is a
+    # batched matmul, which is how this scales to 100k+ rows on TPU)
+    cross = jnp.einsum("qad,qnd->qan", q, rows,
+                       precision=jax.lax.Precision.HIGHEST)
+    d2 = (jnp.sum(q * q, axis=-1)[:, :, None]
+          + jnp.sum(rows * rows, axis=-1)[:, None, :] - 2.0 * cross)
+    d2 = jnp.maximum(d2, 0.0)
     k0, k1, k2 = q[..., 0], q[..., 1], q[..., 2]
     ub = (jnp.maximum((k0 - k0 * 0.8) ** 2, (k0 - k0 / 0.8) ** 2)
           + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
           + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))
     ok = row_valid[:, None, :] & searchable[:, None, :] & q_valid[..., None]
     d2m = jnp.where(ok, d2, MAX_DIST_SQ)
+    nnk = min(nnk, N * A)   # tiny DBs have fewer rows than the k bound
     neg, idx = jax.lax.top_k(-d2m, nnk)                     # ascending distance
     dist = -neg
     valid = dist < jnp.minimum(ub[..., None], MAX_DIST_SQ)
@@ -637,6 +644,26 @@ class ContourDB:
             return 0
         return int(jax.device_get(self.state)[1])
 
+    def _grow(self, new_capacity: int) -> None:
+        """Re-allocate the store to a larger capacity (device-side pad).
+
+        Doubling amortizes the copy; the searchable prefix, timestamps and
+        window state carry over unchanged. NOTE: triggers recompilation of
+        the query/append graphs for the new shape — prefer sizing `capacity`
+        up front for latency-critical streams."""
+        assert new_capacity > self.capacity
+        pad = new_capacity - self.capacity
+        self.store = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), self.store)
+        self.ts_store = jnp.concatenate(
+            [self.ts_store, jnp.zeros((pad,), jnp.float32)])
+        self.capacity = new_capacity
+
+    def _ensure_capacity(self, need: int) -> None:
+        if self.store is not None and self.n + need > self.capacity:
+            self._grow(max(2 * self.capacity, self.n + need))
+
     def add_scan(self, desc: ScanDesc, seq: int, ts):
         """Append a scan. `ts` may be a host float (convenience) or a device
         scalar shipped with the scan payload (the zero-upload prod path)."""
@@ -645,6 +672,7 @@ class ContourDB:
                 lambda x: jnp.zeros((self.capacity,) + x.shape, x.dtype), desc)
             self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
             self.state = jnp.zeros((2,), jnp.int32)
+        self._ensure_capacity(1)
         assert self.n < self.capacity, "DB capacity exceeded"
         self.store, self.ts_store, self.state = _append(
             self.store, self.ts_store, self.state, desc, ts)
@@ -726,6 +754,7 @@ class ContourDB:
                 descs)
             self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
             self.state = jnp.zeros((2,), jnp.int32)
+        self._ensure_capacity(B)
         assert self.n + B <= self.capacity, "DB capacity exceeded"
         self.store, self.ts_store, self.state, recs = _process_block(
             self.store, self.ts_store, self.state, descs,

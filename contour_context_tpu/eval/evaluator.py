@@ -83,6 +83,11 @@ class ContLCDEvaluator:
     def curr_scan(self) -> LaserScanInfo:
         return self.laser_info[self.p_lidar_curr]
 
+    def peek_next(self) -> Optional[LaserScanInfo]:
+        """The scan after the cursor, if any (for loader prefetching)."""
+        i = self.p_lidar_curr + 1
+        return self.laser_info[i] if i < len(self.laser_info) else None
+
     def add_prediction(self, q_seq: int, est_corr: float,
                        cand_seq: Optional[int] = None,
                        T_est_delta_2d: Optional[np.ndarray] = None,

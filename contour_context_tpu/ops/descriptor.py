@@ -35,7 +35,6 @@ from contour_context_tpu.config import (
 from contour_context_tpu.types import ScanDesc
 
 VAL_ABS_INF = 1e3
-N_PIX_POOL = 4096   # compacted pool of above-gate pixels used by the ring key
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +277,7 @@ def make_keys(tab: dict, bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
     h_gate = cfg.lv_grads[DIST_BIN_LAYERS[0]]
 
     # compact the above-gate pixel pool to a fixed size
-    n_pool = min(N_PIX_POOL, S)
+    n_pool = min(cfg.pix_pool, S)
     pvalid = bev > h_gate
     order = jnp.argsort(~pvalid, stable=True)[:n_pool]
     p_ok = pvalid[order]

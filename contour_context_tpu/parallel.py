@@ -56,7 +56,12 @@ def sharded_search(db_keys, q_keys, searchable_n,
         row_valid = jnp.abs(rows).sum(-1) > 0
         scan_of_row = base + jnp.repeat(jnp.arange(N_loc, dtype=jnp.int32), A)[None]
         ok = row_valid & (scan_of_row < n_searchable)
-        d2 = jnp.sum((qk[:, :, None, :] - rows[:, None, :, :]) ** 2, axis=-1)
+        # same MXU-shaped distance as db._search_impl
+        cross = jnp.einsum("qad,qnd->qan", qk, rows,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = (jnp.sum(qk * qk, axis=-1)[:, :, None]
+              + jnp.sum(rows * rows, axis=-1)[:, None, :] - 2.0 * cross)
+        d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(ok[:, None, :], d2, MAX_DIST_SQ)
         neg, idx = jax.lax.top_k(-d2, nnk)
         gscan = base + idx // A

@@ -24,7 +24,12 @@ from contour_context_tpu.ops.descriptor import build_descriptor
 from contour_context_tpu.utils.io import pad_points
 from contour_context_tpu.utils.profiling import SequentialTimeProfiler
 
-DRAIN_BLOCK = 32   # query records fetched per host round trip
+DRAIN_BLOCK = 4096   # pending-record bound before a mid-stream drain
+# Mid-stream drains are a last-resort memory bound: on tunneled runtimes the
+# FIRST device->host fetch permanently degrades dispatch latency (see README),
+# so the pipeline holds the tiny (16-float) records on device and drains once
+# at the end of the stream. Use OnlineSpinner when per-scan results are needed
+# live.
 
 
 def se2_mat_from_params(T3: np.ndarray) -> np.ndarray:
@@ -57,6 +62,7 @@ class LoopClosurePipeline:
         # descriptor to host every scan, which is slow on tunneled runtimes.
         self.save_mid_dir = save_mid_dir
         self._pending: deque = deque()   # (LaserScanInfo, QueryHandle|None)
+        self._prefetched = None          # (seq, (dev_pts, dev_ts))
         # native C++ mmap reader when csrc/libcont2.so builds; numpy otherwise
         from contour_context_tpu.utils.native_loader import read_bin_padded
         self._load_points: Callable[[str], np.ndarray] = \
@@ -65,6 +71,15 @@ class LoopClosurePipeline:
     def set_point_loader(self, fn: Callable[[str], np.ndarray]) -> None:
         """Override the scan loader; may return (N,3) xyz or padded (P,4)."""
         self._load_points = fn
+
+    def _upload(self, info):
+        """Load one scan and start its async (points, ts) device upload."""
+        import jax
+
+        pts = self._load_points(info.fpath)
+        if pts.ndim != 2 or pts.shape != (self.cfg.cm.max_points, 4):
+            pts = pad_points(pts, self.cfg.cm.max_points)
+        return jax.device_put((pts, np.float32(info.ts)))
 
     def _process(self, info, res) -> None:
         cfg = self.cfg
@@ -104,12 +119,17 @@ class LoopClosurePipeline:
 
         self.stp.lap()
         self.stp.start()
-        pts = self._load_points(info.fpath)
-        if pts.ndim != 2 or pts.shape != (cfg.cm.max_points, 4):
-            pts = pad_points(pts, cfg.cm.max_points)
-        # one upload per scan: points + timestamp ride together; everything
-        # downstream (descriptor, query, window update) is device-resident
-        dev_pts, dev_ts = jax.device_put((pts, np.float32(info.ts)))
+        # one upload per scan: points + timestamp ride together; the NEXT
+        # scan's upload is issued before this scan's work is awaited (1-deep
+        # prefetch), so the link pipelines with compute
+        if self._prefetched is not None and self._prefetched[0] == info.seq:
+            dev_pts, dev_ts = self._prefetched[1]
+        else:
+            dev_pts, dev_ts = self._upload(info)
+        self._prefetched = None
+        nxt = ev.peek_next()
+        if nxt is not None:
+            self._prefetched = (nxt.seq, self._upload(nxt))
         desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
         if self.block:
             jax.block_until_ready(desc)
@@ -145,7 +165,16 @@ class LoopClosurePipeline:
             self._drain_block(DRAIN_BLOCK)
         return True
 
-    def run(self, max_scans: Optional[int] = None, progress_every: int = 0) -> None:
+    def run(self, max_scans: Optional[int] = None, progress_every: int = 0,
+            trace_dir: Optional[str] = None) -> None:
+        """Replay the whole sequence; `trace_dir` wraps the loop in a
+        jax.profiler trace (open with TensorBoard / xprof)."""
+        if trace_dir:
+            import jax
+
+            with jax.profiler.trace(trace_dir):
+                self.run(max_scans=max_scans, progress_every=progress_every)
+            return
         n = 0
         while self.spin_once():
             n += 1

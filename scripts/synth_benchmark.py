@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""End-to-end recognition-quality benchmark on a synthetic sequence.
+
+Generates a trajectory with genuine revisits through a structured world,
+replays it through the full pipeline (descriptor -> fused query -> evaluator),
+writes the outcome file and scores it with the pr_mpe metric of record
+(max-F1, recall@P=1, TP pose error) — the same protocol the reference uses on
+KITTI. With no KITTI scans available in this environment, this is the
+recognition-quality regression anchor; the data plane accepts real KITTI/
+MulRan via the same two-file format (see utils/io.gen_kitti_dataset).
+
+Usage: python scripts/synth_benchmark.py [out_dir] [--scans N] [--seed S]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def build_trajectory(n_scans: int, rng) -> list:
+    """A loopy path: several out-and-back excursions over a street grid."""
+    poses = []
+    x = y = th = 0.0
+    # waypoint circuit revisited on later laps with small lateral offsets
+    lap_len = max(20, n_scans // 3)
+    for i in range(n_scans):
+        lap = i // lap_len
+        k = i % lap_len
+        # square circuit, 8 m steps
+        side = k * 4 // lap_len
+        step = 8.0
+        if side == 0:
+            x, y, th = step * (k % (lap_len // 4)) * 1.0, 0.0, 0.0
+        elif side == 1:
+            x, y, th = step * (lap_len // 4), step * (k % (lap_len // 4)), 1.5708
+        elif side == 2:
+            x, y, th = step * (lap_len // 4) - step * (k % (lap_len // 4)), \
+                step * (lap_len // 4), 3.1416
+        else:
+            x, y, th = 0.0, step * (lap_len // 4) - step * (k % (lap_len // 4)), \
+                -1.5708
+        jitter = 0.6 * lap
+        poses.append((x + rng.uniform(-0.3, 0.3) + jitter,
+                      y + rng.uniform(-0.3, 0.3),
+                      th + rng.uniform(-0.05, 0.05)))
+    return poses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="results/synth_bench")
+    ap.add_argument("--scans", type=int, default=180)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-points", type=int, default=65536)
+    args = ap.parse_args()
+
+    from synth import make_world, render_scan, se3_from_xyt
+
+    from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+    from contour_context_tpu.eval.pr_mpe import score_outcome
+    from contour_context_tpu.pipeline import run_batch
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    world = make_world(args.seed, n_structs=260, extent=180.0)
+    poses = build_trajectory(args.scans, rng)
+
+    bin_dir = os.path.join(args.out_dir, "bins")
+    os.makedirs(bin_dir, exist_ok=True)
+    pose_lines, lid_lines = [], []
+    for i, p in enumerate(poses):
+        pts = render_scan(world, p, seed=int(rng.integers(1 << 30)))
+        arr = np.zeros((len(pts), 4), np.float32)
+        arr[:, :3] = pts
+        bp = os.path.join(bin_dir, "%06d.bin" % i)
+        arr.tofile(bp)
+        ts = 1.0 * i   # 1 Hz: the >=15 s window admits revisits a lap away
+        T = se3_from_xyt(p)
+        pose_lines.append("%.6f %s" % (ts, " ".join(
+            "%.6f" % v for v in T[:3, :4].reshape(-1))))
+        lid_lines.append("%.6f %d %s" % (ts, i, bp))
+    f_pose = os.path.join(args.out_dir, "ts-sens_pose-synth.txt")
+    f_lid = os.path.join(args.out_dir, "ts-lidar_bins-synth.txt")
+    open(f_pose, "w").write("\n".join(pose_lines))
+    open(f_lid, "w").write("\n".join(lid_lines))
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=args.max_points))
+    f_outcome = os.path.join(args.out_dir, "outcome-synth.txt")
+
+    from contour_context_tpu.eval.evaluator import ContLCDEvaluator
+    from contour_context_tpu.pipeline import LoopClosurePipeline
+
+    ev = ContLCDEvaluator(f_pose, f_lid, cfg.correlation_thres)
+    pipe = LoopClosurePipeline(cfg, ev, capacity=len(ev) + 8)
+    n_warm = min(12, args.scans // 4)   # compile + cache warm-up scans
+    t_all = time.perf_counter()
+    for _ in range(n_warm):
+        pipe.spin_once()
+    t0 = time.perf_counter()
+    n_meas = 0
+    while pipe.spin_once():
+        n_meas += 1
+    import jax
+    jax.block_until_ready(pipe.db.store)
+    steady = (time.perf_counter() - t0) / max(n_meas, 1)
+    pipe.drain()
+    wall = time.perf_counter() - t_all
+    pipe.save_outcome(f_outcome)
+    pipe.stp.print_screen()
+    print("steady-state (post-warmup): %.2f ms/scan incl. load+upload"
+          % (steady * 1e3))
+
+    # the 15 s window at 1 Hz == 15-frame exclusion for gt labeling
+    res = score_outcome(f_pose, f_outcome, excl_frames=15)
+    tp = sum(1 for r in pipe.results if r.tfpn == 0)
+    fp = sum(1 for r in pipe.results if r.tfpn == 1)
+    fn = sum(1 for r in pipe.results if r.tfpn == 3)
+    print("\nsynth benchmark: %d scans in %.1fs (%.1f ms/scan incl. host IO)"
+          % (args.scans, wall, wall / args.scans * 1e3))
+    print("TFPN @ thres %.5f: tp=%d fp=%d fn=%d" %
+          (cfg.correlation_thres, tp, fp, fn))
+    print("max-F1 %.4f @ %.4f | recall@P=1 %.4f | TP trans mean %.3f m "
+          "rmse %.3f m | rot mean %.3f deg rmse %.3f deg (%d TPs)"
+          % (res.max_f1, res.max_f1_thres, res.recall_at_p1, res.trans_mean,
+             res.trans_rmse, res.rot_mean_deg, res.rot_rmse_deg, res.tp_count))
+    print("counters:", pipe.db.counters)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""DB auto-grow and the multi-chip sharded query step (8 virtual devices)."""
+
+import numpy as np
+import pytest
+
+from synth import make_world, render_scan
+
+from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+from contour_context_tpu.db import ContourDB
+from contour_context_tpu.ops.descriptor import build_descriptor
+from contour_context_tpu.utils.io import pad_points
+
+CFG = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+
+
+def _descs(n, world=None, step=10.0):
+    world = world if world is not None else make_world(11, n_structs=220,
+                                                       extent=160.0)
+    out = []
+    for i in range(n):
+        pts = render_scan(world, (step * i, 0.0, 0.0), seed=500 + i)
+        out.append(build_descriptor(pad_points(pts, CFG.cm.max_points),
+                                    CFG.cm, CFG.gmm))
+    return world, out
+
+
+@pytest.mark.slow
+def test_db_grow():
+    world, descs = _descs(6)
+    db = ContourDB(CFG, capacity=4)
+    for i, d in enumerate(descs):
+        db.add_scan(d, i, 6.0 * i)      # grows past 4 at i=4
+        db.push_and_balance(6.0 * i)
+    assert db.capacity >= 6 and db.n == 6
+
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   CFG.cm.max_points), CFG.cm, CFG.gmm)
+    r = db.query_ranged_knn(q)
+    assert r is not None and db.seq_of_gidx[r[0]] == 1, r
+
+
+@pytest.mark.slow
+def test_sharded_query_matches_single():
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import _query_step, _unpack_record
+    from contour_context_tpu.parallel import (
+        make_mesh, shard_store, sharded_query_step)
+
+    world, descs = _descs(8)
+    db = ContourDB(CFG, capacity=16)    # 16 rows over 8 devices = 2 each
+    for i, d in enumerate(descs):
+        db.add_scan(d, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   CFG.cm.max_points), CFG.cm, CFG.gmm)
+
+    rec_1 = np.asarray(jax.device_get(_query_step(db.store, q, db.state, CFG)))
+
+    mesh = make_mesh(jax.devices()[:8])
+    sh_store = shard_store(db.store, mesh)
+    rec_8 = np.asarray(jax.device_get(
+        sharded_query_step(sh_store, q, jnp.asarray(db.state), CFG, mesh)))
+
+    r1, r8 = _unpack_record(rec_1), _unpack_record(rec_8)
+    assert r8.found == r1.found and r1.found
+    assert r8.gidx == r1.gidx
+    np.testing.assert_allclose(r8.corr, r1.corr, rtol=1e-4)
+    np.testing.assert_allclose(r8.T, r1.T, rtol=1e-4, atol=1e-5)
+    assert (r8.n_hints, r8.aft1, r8.aft3) == (r1.n_hints, r1.aft1, r1.aft3)
