@@ -73,6 +73,8 @@ class ContourManagerConfig:
     max_points: int = 131072   # point-cloud pad size (KITTI HDL-64E: ~120-130k)
     pix_pool: int = 4096       # above-gate pixel pool for the ring keys
                                # (KITTI-style scenes occupy ~2-6k of 22.5k cells)
+    use_pallas_ring: bool = False  # Pallas ring-key kernel (ops/pallas_kernels.py);
+                                   # the XLA default is equally fast at 150x150
     view_stat: ContourViewStatConfig = field(default_factory=ContourViewStatConfig)
 
     @property

@@ -312,11 +312,31 @@ def make_keys(tab: dict, bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
     w = jnp.where(contrib, higher[None], 0.0)
     cnt_point = contrib.sum(axis=1).astype(jnp.float32)
 
-    # (L*A, P, D) gaussian kernel, summed over pixels
-    g = jnp.exp(-0.5 * (div_centers[None, None, :] - dist[..., None]) ** 2) \
-        / math.sqrt(2 * math.pi)
-    divs = jnp.einsum("ap,apd->ad", w, g,
-                      precision=jax.lax.Precision.HIGHEST)  # (L*A, 35)
+    if cfg.use_pallas_ring:
+        # Pallas path: VMEM-resident pixel pool, MXU contraction per anchor
+        # (see ops/pallas_kernels.py for when this wins over plain XLA)
+        from contour_context_tpu.ops.pallas_kernels import ring_key_divs_pallas
+
+        anchors8 = jnp.stack([
+            v0, v1, jnp.broadcast_to(r_min[:, 0].astype(jnp.float32), v0.shape),
+            r_max[:, 0].astype(jnp.float32), c_min[:, 0].astype(jnp.float32),
+            c_max[:, 0].astype(jnp.float32), jnp.ones_like(v0),
+            jnp.zeros_like(v0)], axis=1)
+        pool8 = jnp.stack([
+            p_r.astype(jnp.float32), p_c.astype(jnp.float32), p_rowf, p_colf,
+            higher, p_ok.astype(jnp.float32), jnp.zeros_like(p_rowf),
+            jnp.zeros_like(p_rowf)], axis=1)
+        divs, cnt_point_k = ring_key_divs_pallas(
+            anchors8, pool8, div_centers, cfg.roi_radius,
+            num_bins * div_per_bin,
+            interpret=jax.default_backend() != "tpu")
+        cnt_point = cnt_point_k
+    else:
+        # (L*A, P, D) gaussian kernel, summed over pixels
+        g = jnp.exp(-0.5 * (div_centers[None, None, :] - dist[..., None]) ** 2) \
+            / math.sqrt(2 * math.pi)
+        divs = jnp.einsum("ap,apd->ad", w, g,
+                          precision=jax.lax.Precision.HIGHEST)  # (L*A, 35)
     ring = divs.reshape(-1, num_bins, div_per_bin).sum(-1)
     ring = jnp.where(cnt_point[:, None] > 0,
                      ring * bin_len / jnp.sqrt(jnp.maximum(cnt_point, 1.0))[:, None],

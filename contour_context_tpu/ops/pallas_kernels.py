@@ -1,0 +1,126 @@
+"""Pallas TPU kernels: alternative implementations of descriptor hot ops.
+
+Engineering note (measured on TPU v5e, see README): the fused XLA descriptor
+graph runs at ~0.22 ms/scan and ~0.03 ms/scan under block-16 batching — the
+op mix is small-tensor and latency-bound, and XLA's fusion already keeps the
+working set on-chip, so hand-written kernels buy little for the default
+150x150 geometry. These kernels exist for (a) the large-geometry regime
+(bigger BEVs / pixel pools, where keeping the pool VMEM-resident wins) and
+(b) as the maintained template for pushing more of the pipeline into Pallas.
+Enable with ContourManagerConfig(use_pallas_ring=True).
+
+Status: numerically verified against the XLA computation (interpret mode,
+tests/test_pallas_kernels.py). On this harness's remote Mosaic compiler the
+kernel's compile time is impractical (>9 min), so the XLA path stays the
+default; on a standard TPU toolchain flip the flag and re-benchmark.
+
+Kernel: ring-key Gaussian contraction (contour_mng.h:717-800). For each of
+the L*A anchors, every above-gate pixel contributes a 1-D Gaussian of weight
+`higher` over 35 radial divisions:
+
+    divs[a, d] = sum_p w[a, p] * exp(-0.5 (c_d - dist[a, p])^2) / sqrt(2 pi)
+
+The pixel pool lives in VMEM; the (P, D) Gaussian tile contracts against the
+weight row on the MXU via pl.dot. Grid = anchors.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _ring_kernel(anchor_ref, pool_ref, centers_ref, out_ref, *,
+                 roi_radius: float, n_div: int):
+    """All anchors in one program; the pixel pool stays VMEM-resident.
+
+    Layout rule learned the hard way: Mosaic rejects partial-row VMEM access
+    at non-tile-aligned offsets ("Offset change" NIE), so every ref is read/
+    written as a FULL block and the short division axis (35) is the unrolled
+    loop — each iteration is an aligned (A_pad, P) elementwise pass + row
+    reduction on the VPU.
+
+    anchor_ref: (A_pad, 8) f32 [v0, v1, r_min, r_max, c_min, c_max, valid, _]
+                (transposed to (8, A_pad) columns below)
+    pool_ref:   (P, 8) f32 [p_r, p_c, rowf, colf, higher, ok, _, _]
+    centers_ref:(1, n_div) f32 division centers
+    out_ref:    (A_pad, n_div + 1) f32 [divs..., cnt_point]
+    """
+    A = anchor_ref[:, :]                                     # (A_pad, 8)
+    pool = pool_ref[:, :]                                    # (P, 8)
+    v0 = A[:, 0:1]                                           # (A_pad, 1)
+    v1 = A[:, 1:2]
+    p_r = pool[:, 0][None, :]                                # (1, P)
+    p_c = pool[:, 1][None, :]
+    rowf = pool[:, 2][None, :]
+    colf = pool[:, 3][None, :]
+    higher = pool[:, 4][None, :]
+    p_ok = pool[:, 5][None, :] > 0
+
+    in_box = (p_r >= A[:, 2:3]) & (p_r <= A[:, 3:4]) & \
+        (p_c >= A[:, 4:5]) & (p_c <= A[:, 5:6])              # (A_pad, P)
+    dr = rowf - v0
+    dc = colf - v1
+    dist = jnp.sqrt(dr * dr + dc * dc)
+    contrib = in_box & (dist < roi_radius - 1e-2) & p_ok
+    w = jnp.where(contrib, higher, 0.0)
+
+    centers = centers_ref[0, :]
+    cols = [jnp.sum(w * jnp.exp(-0.5 * (centers[d] - dist) ** 2)
+                    * INV_SQRT_2PI, axis=1)
+            for d in range(n_div)]
+    cols.append(jnp.sum(contrib.astype(jnp.float32), axis=1))
+    out_ref[:, :] = jnp.stack(cols, axis=1)                  # (A_pad, n_div+1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("roi_radius", "n_div", "interpret"))
+def ring_key_divs_pallas(anchors, pool, div_centers, roi_radius: float,
+                         n_div: int, interpret: bool = False):
+    """anchors (A8, 8) f32, pool (P, 8) f32, div_centers (n_div,) f32 ->
+    (A8, n_div) division sums and (A8,) in-RoI pixel counts."""
+    A8 = anchors.shape[0]
+    A_pad = -(-A8 // 8) * 8
+    if A_pad != A8:   # out-of-range box bounds make padded rows contribute 0
+        pad = jnp.zeros((A_pad - A8, anchors.shape[1]), anchors.dtype) \
+            .at[:, 2].set(-2.0).at[:, 3].set(-1.0)
+        anchors = jnp.concatenate([anchors, pad])
+    out = pl.pallas_call(
+        functools.partial(_ring_kernel, roi_radius=roi_radius, n_div=n_div),
+        out_shape=jax.ShapeDtypeStruct((A_pad, n_div + 1), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(anchors, pool, div_centers[None, :])
+    return out[:A8, :n_div], out[:A8, n_div]
+
+
+def ring_key_divs_reference(anchors, pool, div_centers, roi_radius: float):
+    """Plain-XLA twin of the kernel (the shipping default in make_keys keeps
+    its own fused form; this mirrors the kernel's I/O contract for tests)."""
+    v0, v1 = anchors[:, 0:1], anchors[:, 1:2]
+    r_min, r_max = anchors[:, 2:3], anchors[:, 3:4]
+    c_min, c_max = anchors[:, 4:5], anchors[:, 5:6]
+    p_r, p_c = pool[None, :, 0], pool[None, :, 1]
+    rowf, colf = pool[None, :, 2], pool[None, :, 3]
+    higher, p_ok = pool[None, :, 4], pool[None, :, 5] > 0
+    in_box = (p_r >= r_min) & (p_r <= r_max) & (p_c >= c_min) & (p_c <= c_max)
+    dist = jnp.sqrt((rowf - v0) ** 2 + (colf - v1) ** 2)
+    contrib = in_box & (dist < roi_radius - 1e-2) & p_ok
+    w = jnp.where(contrib, higher, 0.0)
+    g = jnp.exp(-0.5 * (div_centers[None, None, :] - dist[..., None]) ** 2) \
+        * INV_SQRT_2PI
+    divs = jnp.einsum("ap,apd->ad", w, g,
+                      precision=jax.lax.Precision.HIGHEST)
+    return divs, contrib.sum(axis=1).astype(jnp.float32)

@@ -2,14 +2,16 @@
 
 Multi-chip TPU hardware is unavailable in CI; sharding tests use
 xla_force_host_platform_device_count per the standard JAX testing recipe.
+
+IMPORTANT: this environment's sitecustomize (PYTHONPATH=/root/.axon_site)
+imports jax at interpreter start to register the axon TPU plugin, so setting
+JAX_PLATFORMS via os.environ here is TOO LATE — the value was already read.
+jax.config.update("jax_platforms", ...) works because the backend itself
+initializes lazily. Set CONT2_TEST_PLATFORM=tpu to run the suite on the chip.
 """
 
 import os
 
-# Force CPU: the ambient environment may preset JAX_PLATFORMS=axon (the
-# single-TPU tunnel), which makes eager/test dispatch go over the wire.
-# Set CONT2_TEST_PLATFORM=axon explicitly to run the suite on the chip.
-os.environ["JAX_PLATFORMS"] = os.environ.get("CONT2_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -19,3 +21,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import jax  # noqa: E402  (may already be imported by sitecustomize)
+
+jax.config.update("jax_platforms",
+                  os.environ.get("CONT2_TEST_PLATFORM", "cpu"))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax"))

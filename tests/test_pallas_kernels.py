@@ -1,0 +1,64 @@
+"""Pallas ring-key kernel vs the XLA computation (interpret mode on CPU)."""
+
+import dataclasses
+
+import numpy as np
+
+from synth import make_world, render_scan
+
+from contour_context_tpu.config import ContourManagerConfig
+from contour_context_tpu.utils.io import pad_points
+
+
+def test_ring_kernel_unit():
+    import jax.numpy as jnp
+
+    from contour_context_tpu.ops.pallas_kernels import (
+        ring_key_divs_pallas,
+        ring_key_divs_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    A8, P, D = 8, 256, 35
+    anchors = np.zeros((A8, 8), np.float32)
+    anchors[:, 0] = rng.uniform(20, 120, A8)   # v0
+    anchors[:, 1] = rng.uniform(20, 120, A8)   # v1
+    anchors[:, 2] = anchors[:, 0] - 11         # r_min
+    anchors[:, 3] = anchors[:, 0] + 11
+    anchors[:, 4] = anchors[:, 1] - 11
+    anchors[:, 5] = anchors[:, 1] + 11
+    anchors[:, 6] = 1.0
+    pool = np.zeros((P, 8), np.float32)
+    pool[:, 2] = rng.uniform(0, 150, P)        # rowf
+    pool[:, 3] = rng.uniform(0, 150, P)        # colf
+    pool[:, 0] = np.floor(pool[:, 2])          # p_r (int cell)
+    pool[:, 1] = np.floor(pool[:, 3])
+    pool[:, 4] = rng.integers(0, 5, P)         # higher
+    pool[:, 5] = (rng.random(P) < 0.8)         # ok
+    centers = (np.arange(D, dtype=np.float32) + 0.5) * (10.0 / D)
+
+    d_p, c_p = ring_key_divs_pallas(jnp.asarray(anchors), jnp.asarray(pool),
+                                    jnp.asarray(centers), 10.0, D,
+                                    interpret=True)
+    d_r, c_r = ring_key_divs_reference(jnp.asarray(anchors), jnp.asarray(pool),
+                                       jnp.asarray(centers), 10.0)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_r))
+
+
+def test_descriptor_keys_with_pallas_ring():
+    """use_pallas_ring=True reproduces the default descriptor keys."""
+    import jax
+
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    cfg = ContourManagerConfig(max_points=16384)
+    cfg_p = dataclasses.replace(cfg, use_pallas_ring=True)
+    world = make_world(0)
+    pts = pad_points(render_scan(world, (0.0, 0.0, 0.0), seed=1),
+                     cfg.max_points)
+    d0 = jax.device_get(build_descriptor(pts, cfg))
+    d1 = jax.device_get(build_descriptor(pts, cfg_p))
+    np.testing.assert_allclose(np.asarray(d1.keys), np.asarray(d0.keys),
+                               rtol=1e-4, atol=1e-4)
