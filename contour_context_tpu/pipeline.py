@@ -72,13 +72,16 @@ class LoopClosurePipeline:
         """Override the scan loader; may return (N,3) xyz or padded (P,4)."""
         self._load_points = fn
 
+    def _ensure_padded(self, pts: np.ndarray) -> np.ndarray:
+        if pts.ndim != 2 or pts.shape != (self.cfg.cm.max_points, 4):
+            pts = pad_points(pts, self.cfg.cm.max_points)
+        return pts
+
     def _upload(self, info):
         """Load one scan and start its async (points, ts) device upload."""
         import jax
 
-        pts = self._load_points(info.fpath)
-        if pts.ndim != 2 or pts.shape != (self.cfg.cm.max_points, 4):
-            pts = pad_points(pts, self.cfg.cm.max_points)
+        pts = self._ensure_padded(self._load_points(info.fpath))
         return jax.device_put((pts, np.float32(info.ts)))
 
     def _process(self, info, res) -> None:
@@ -98,9 +101,14 @@ class LoopClosurePipeline:
 
     def _drain_block(self, k: int) -> None:
         batch = [self._pending.popleft() for _ in range(k)]
-        results = drain_handles([h for _, h in batch])
-        for (info, _), res in zip(batch, results):
-            self._process(info, res)
+        scalars = [h for info, h in batch if not isinstance(info, list)]
+        scal_res = iter(drain_handles(scalars))
+        for info, h in batch:
+            if isinstance(info, list):     # a processed block: one fetch
+                for i, res in zip(info, h.get()):
+                    self._process(i, res)
+            else:
+                self._process(info, next(scal_res))
 
     def drain(self) -> None:
         """Materialize every pending query result (end of the stream)."""
@@ -109,12 +117,17 @@ class LoopClosurePipeline:
 
     def spin_once(self) -> bool:
         """Process the next scan; returns False when the sequence ends."""
-        import jax
-
         ev = self.evaluator
         if not ev.load_new_scan():
             return False
-        info = ev.curr_scan
+        self._spin_info(ev.curr_scan)
+        return True
+
+    def _spin_info(self, info) -> None:
+        """Per-scan step for one LaserScanInfo (cursor already advanced)."""
+        import jax
+
+        ev = self.evaluator
         cfg = self.cfg
 
         self.stp.lap()
@@ -163,7 +176,54 @@ class LoopClosurePipeline:
 
         if len(self._pending) >= 2 * DRAIN_BLOCK:
             self._drain_block(DRAIN_BLOCK)
-        return True
+
+    def run_blocked(self, block: int = 16,
+                    max_scans: Optional[int] = None) -> None:
+        """Batched replay: `block` scans per device dispatch.
+
+        Descriptor builds are vmapped over the block and the whole block is
+        appended + queried by ONE fused dispatch (db._process_block) with
+        exact sequential-window parity — the throughput mode (~10x the
+        per-scan mode on TPU; see bench.py's batched_block16_ms)."""
+        import jax
+        import jax.numpy as jnp
+
+        ev = self.evaluator
+        cfg = self.cfg
+        if getattr(self, "_batch_build_B", None) != block:
+            self._batch_build = jax.jit(jax.vmap(
+                lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
+            self._batch_build_B = block
+
+        n_done = 0
+        while max_scans is None or n_done < max_scans:
+            infos = []
+            while len(infos) < block and ev.load_new_scan():
+                infos.append(ev.curr_scan)
+            if not infos:
+                break
+            if len(infos) < block:
+                # tail shorter than a block: per-scan path (padding with
+                # duplicate scans would pollute the searchable store)
+                for info in infos:
+                    self._spin_info(info)
+                n_done += len(infos)
+                break
+            self.stp.lap()
+            self.stp.start()
+            pts = np.stack([self._ensure_padded(self._load_points(i.fpath))
+                            for i in infos])
+            ts = np.asarray([i.ts for i in infos], np.float32)
+            dev_pts, dev_ts = jax.device_put((pts, ts))
+            descs = self._batch_build(dev_pts)
+            self.stp.record("make bev")
+            self.stp.start()
+            h = self.db.process_block_async(descs, [i.seq for i in infos],
+                                            dev_ts)
+            self.stp.record("block append+query")
+            self._pending.append((infos, h))
+            n_done += len(infos)
+        self.drain()
 
     def run(self, max_scans: Optional[int] = None, progress_every: int = 0,
             trace_dir: Optional[str] = None) -> None:
