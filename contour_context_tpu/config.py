@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 # ---------------------------------------------------------------------------
 # Fixed-shape capacity constants for the TPU dense-array layout.

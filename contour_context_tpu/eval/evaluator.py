@@ -10,13 +10,13 @@ Parity with ContLCDEvaluator (evaluator.h:53-440):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np
 
 from contour_context_tpu.utils.io import LaserScanInfo, associate_scans_with_gt
-from contour_context_tpu.utils.se2 import bev_T_delta_to_sensor, eval_metric_est
+from contour_context_tpu.utils.se2 import eval_metric_est
 
 TP, FP, TN, FN = 0, 1, 2, 3  # PredictionOutcome::Res (evaluator.h:36-38)
 

@@ -22,7 +22,7 @@ this oracle exists so tests can pin down numeric contracts.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

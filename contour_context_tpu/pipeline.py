@@ -67,10 +67,12 @@ class LoopClosurePipeline:
         from contour_context_tpu.utils.native_loader import read_bin_padded
         self._load_points: Callable[[str], np.ndarray] = \
             lambda p: read_bin_padded(p, cfg.cm.max_points)
+        self._default_loader = True   # enables zero-copy block staging
 
     def set_point_loader(self, fn: Callable[[str], np.ndarray]) -> None:
         """Override the scan loader; may return (N,3) xyz or padded (P,4)."""
         self._load_points = fn
+        self._default_loader = False
 
     def _ensure_padded(self, pts: np.ndarray) -> np.ndarray:
         if pts.ndim != 2 or pts.shape != (self.cfg.cm.max_points, 4):
@@ -177,8 +179,8 @@ class LoopClosurePipeline:
         if len(self._pending) >= 2 * DRAIN_BLOCK:
             self._drain_block(DRAIN_BLOCK)
 
-    def run_blocked(self, block: int = 16,
-                    max_scans: Optional[int] = None) -> None:
+    def run_blocked(self, block: int = 16, max_scans: Optional[int] = None,
+                    drain_at_end: bool = True) -> None:
         """Batched replay: `block` scans per device dispatch.
 
         Descriptor builds are vmapped over the block and the whole block is
@@ -186,7 +188,6 @@ class LoopClosurePipeline:
         exact sequential-window parity — the throughput mode (~10x the
         per-scan mode on TPU; see bench.py's batched_block16_ms)."""
         import jax
-        import jax.numpy as jnp
 
         ev = self.evaluator
         cfg = self.cfg
@@ -198,7 +199,9 @@ class LoopClosurePipeline:
         n_done = 0
         while max_scans is None or n_done < max_scans:
             infos = []
-            while len(infos) < block and ev.load_new_scan():
+            while len(infos) < block and \
+                    (max_scans is None or n_done + len(infos) < max_scans) \
+                    and ev.load_new_scan():
                 infos.append(ev.curr_scan)
             if not infos:
                 break
@@ -211,10 +214,30 @@ class LoopClosurePipeline:
                 break
             self.stp.lap()
             self.stp.start()
-            pts = np.stack([self._ensure_padded(self._load_points(i.fpath))
-                            for i in infos])
+            # double-buffered staging: the native reader writes each scan
+            # straight into a reusable pinned block buffer (no np.stack
+            # realloc+copy, which otherwise dominates the block at ~87 ms)
+            from contour_context_tpu.utils.native_loader import (
+                read_bin_padded_into)
+
+            if getattr(self, "_blk_bufs", None) is None or \
+                    self._blk_bufs[0].shape != (block, cfg.cm.max_points, 4):
+                self._blk_bufs = [
+                    np.empty((block, cfg.cm.max_points, 4), np.float32)
+                    for _ in range(2)]
+                self._blk_prev = [None, None]
+            slot = (n_done // block) % 2
+            if self._blk_prev[slot] is not None:
+                jax.block_until_ready(self._blk_prev[slot])  # buffer reusable
+            buf = self._blk_bufs[slot]
+            for j, info in enumerate(infos):
+                if self._default_loader:
+                    read_bin_padded_into(info.fpath, buf[j])
+                else:
+                    buf[j] = self._ensure_padded(self._load_points(info.fpath))
             ts = np.asarray([i.ts for i in infos], np.float32)
-            dev_pts, dev_ts = jax.device_put((pts, ts))
+            dev_pts, dev_ts = jax.device_put((buf, ts))
+            self._blk_prev[slot] = dev_pts
             descs = self._batch_build(dev_pts)
             self.stp.record("make bev")
             self.stp.start()
@@ -223,7 +246,8 @@ class LoopClosurePipeline:
             self.stp.record("block append+query")
             self._pending.append((infos, h))
             n_done += len(infos)
-        self.drain()
+        if drain_at_end:
+            self.drain()
 
     def run(self, max_scans: Optional[int] = None, progress_every: int = 0,
             trace_dir: Optional[str] = None) -> None:

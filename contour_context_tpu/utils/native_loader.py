@@ -59,6 +59,26 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
+def read_bin_padded_into(path: str, out: np.ndarray) -> int:
+    """Read + pad one scan directly into a caller-owned (max_points, 4) f32
+    row-contiguous buffer (zero extra copies; used by block staging).
+    Returns the point count. Falls back to numpy when the lib is missing."""
+    assert out.dtype == np.float32 and out.flags["C_CONTIGUOUS"]
+    max_points = out.shape[0]
+    lib = _load_lib()
+    if lib is None:
+        from contour_context_tpu.utils.io import pad_points, read_kitti_bin
+        pts = read_kitti_bin(path, max_points)
+        out[:] = pad_points(pts, max_points)
+        return len(pts)
+    n = lib.c2_read_bin_padded(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_points)
+    if n < 0:
+        raise IOError(f"c2_read_bin_padded failed for {path}")
+    return n
+
+
 def read_bin_padded(path: str, max_points: int) -> np.ndarray:
     """Read + pad one scan natively -> (max_points, 4) f32 [x y z valid].
 

@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--scans", type=int, default=180)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-points", type=int, default=65536)
+    ap.add_argument("--block", type=int, default=0,
+                    help="replay in blocks of B scans (throughput mode)")
+    ap.add_argument("--mulran", action="store_true",
+                    help="MulRan operating point (taller structures, "
+                         "lv_grads (1,2.5,...,8.5), ta_h_bar 0.75)")
     args = ap.parse_args()
 
     from synth import make_world, render_scan, se3_from_xyt
@@ -69,6 +74,8 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     world = make_world(args.seed, n_structs=260, extent=180.0)
+    if args.mulran:
+        world[:, 4] *= 2.2   # taller structures to exercise the MulRan ladder
     poses = build_trajectory(args.scans, rng)
 
     bin_dir = os.path.join(args.out_dir, "bins")
@@ -90,24 +97,52 @@ def main():
     open(f_pose, "w").write("\n".join(pose_lines))
     open(f_lid, "w").write("\n".join(lid_lines))
 
-    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=args.max_points))
+    import dataclasses
+
+    if args.mulran:
+        from contour_context_tpu.config import mulran_pipeline_config
+        base = mulran_pipeline_config()
+        cfg = dataclasses.replace(
+            base, cm=dataclasses.replace(base.cm, max_points=args.max_points))
+    else:
+        cfg = PipelineConfig(cm=ContourManagerConfig(max_points=args.max_points))
     f_outcome = os.path.join(args.out_dir, "outcome-synth.txt")
 
     from contour_context_tpu.eval.evaluator import ContLCDEvaluator
     from contour_context_tpu.pipeline import LoopClosurePipeline
 
+    import jax
+
     ev = ContLCDEvaluator(f_pose, f_lid, cfg.correlation_thres)
     pipe = LoopClosurePipeline(cfg, ev, capacity=len(ev) + 8)
-    n_warm = min(12, args.scans // 4)   # compile + cache warm-up scans
     t_all = time.perf_counter()
-    for _ in range(n_warm):
-        pipe.spin_once()
-    t0 = time.perf_counter()
-    n_meas = 0
-    while pipe.spin_once():
-        n_meas += 1
-    import jax
-    jax.block_until_ready(pipe.db.store)
+    if args.block:
+        # warm-up sized so the measured remainder is whole blocks (the tail
+        # otherwise falls back to the per-scan path and compiles mid-timing)
+        n_warm = min(3 * args.block, args.scans // 2)
+        n_warm = args.scans - ((args.scans - n_warm) // args.block) * args.block
+        # warm-up compiles WITHOUT draining (a D2H fetch would degrade the
+        # tunneled runtime for the timed phase)
+        pipe.run_blocked(block=args.block, max_scans=n_warm,
+                         drain_at_end=False)
+        jax.block_until_ready(pipe.db.store)
+        t0 = time.perf_counter()
+        pipe.run_blocked(block=args.block, drain_at_end=False)
+        jax.block_until_ready(pipe.db.store)
+        if pipe._pending:   # force the query records too (no fetch)
+            h_last = pipe._pending[-1][1]
+            jax.block_until_ready(h_last.recs if hasattr(h_last, "recs")
+                                  else h_last.rec)
+        n_meas = len(ev) - n_warm
+    else:
+        n_warm = min(12, args.scans // 4)   # compile + cache warm-up scans
+        for _ in range(n_warm):
+            pipe.spin_once()
+        t0 = time.perf_counter()
+        n_meas = 0
+        while pipe.spin_once():
+            n_meas += 1
+        jax.block_until_ready(pipe.db.store)
     steady = (time.perf_counter() - t0) / max(n_meas, 1)
     pipe.drain()
     wall = time.perf_counter() - t_all

@@ -119,6 +119,55 @@ def test_cascade_vs_oracle(pair):
     assert n_pass3 >= 1
 
 
+@pytest.mark.slow
+def test_cascade_fuzz_multi_seed():
+    """Hint-for-hint cascade parity across several worlds/pose offsets."""
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import _gather_and_cascade
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    cases = [(5, (1.0, -2.0, -0.2), (20, 21)),
+             (8, (4.0, 3.0, 0.7), (30, 31)),
+             (13, (0.2, 0.1, 0.02), (40, 41))]
+    for wseed, pose_b, (sa, sb) in cases:
+        world = make_world(wseed)
+        pts_a = render_scan(world, (0.0, 0.0, 0.0), seed=sa)
+        pts_b = render_scan(world, pose_b, seed=sb)
+        osc_a = oracle.build_scan(pts_a, CFG, 0)
+        osc_b = oracle.build_scan(pts_b, CFG, 1)
+        da = build_descriptor(pad_points(pts_a, CFG.max_points), CFG)
+        db_ = build_descriptor(pad_points(pts_b, CFG.max_points), CFG)
+        store = jax.tree.map(lambda x: x[None], da)
+
+        hints = [(lv, ss, st)
+                 for lv in (1, 2, 3)
+                 for ss in range(CFG.piv_firsts)
+                 for st in range(CFG.piv_firsts)
+                 if np.abs(osc_a.keys[lv][ss]).sum() > 0
+                 and np.abs(osc_b.keys[lv][st]).sum() > 0]
+        if not hints:
+            continue
+        lev = jnp.asarray([h[0] for h in hints], jnp.int32)
+        ss_ = jnp.asarray([h[1] for h in hints], jnp.int32)
+        st_ = jnp.asarray([h[2] for h in hints], jnp.int32)
+        res = _gather_and_cascade(store, db_, jnp.zeros(len(hints), jnp.int32),
+                                  lev, ss_, st_, jnp.ones(len(hints), bool),
+                                  LB, SIM)
+        res = jax.tree.map(np.asarray, res)
+        for i, (level, ss, st) in enumerate(hints):
+            o = _oracle_hint(osc_a, osc_b, level, ss, st)
+            assert bool(res.pass1[i]) == o["pass1"], (wseed, hints[i])
+            assert bool(res.pass2[i]) == o["pass2"], (wseed, hints[i])
+            assert bool(res.pass3[i]) == o["pass3"], (wseed, hints[i])
+            if o["pass3"]:
+                got = {(int(res.pair_level[i, j]), int(res.pair_seq_src[i, j]),
+                        int(res.pair_seq_tgt[i, j]))
+                       for j in np.flatnonzero(res.pair_valid[i])}
+                assert got == o["pairs"], (wseed, hints[i])
+
+
 def test_gmm_vs_oracle(pair):
     import jax
     import jax.numpy as jnp
