@@ -176,31 +176,37 @@ def main():
     jax.block_until_ready(blk_handles[-1].recs)
     dt_blk_ms = (time.perf_counter() - t0) / (n_blk - B) * 1e3
 
-    # phase 4: query latency against a production-scale DB (8192 scans,
-    # ~295k retrieval keys) — the real scans tiled to fill the store (honest
-    # for search/cascade scaling; contents repeat but shapes and work don't)
+    # phase 4: query latency against production-scale DBs (the real scans
+    # tiled to fill the store — honest for search/cascade scaling; contents
+    # repeat but shapes and work don't). 32768 scans ~= a 55 min drive @10 Hz,
+    # ~1.2M retrieval keys.
     import jax.numpy as jnp
 
     from contour_context_tpu.db import _query_step
 
-    big = ContourDB(cfg, capacity=8192)
-    n_have = db.n
-    reps = -(-8192 // n_have)
-    big.store = jax.tree.map(
-        lambda a: jnp.tile(a[:n_have], (reps,) + (1,) * (a.ndim - 1))[:8192],
-        db.store)
-    big.ts_store = jnp.arange(8192, dtype=jnp.float32)
-    big.state = jnp.asarray([8192, 8192 - 32], jnp.int32)  # recent excluded
-    big.n = 8192
-    big.seq_of_gidx = list(range(8192))
+    dt_big = {}
     qdesc = build_descriptor(staged[0][0], cfg.cm, cfg.gmm)
-    rec = _query_step(big.store, qdesc, big.state, cfg)
-    jax.block_until_ready(rec)
-    t0 = time.perf_counter()
-    for _ in range(20):
+    n_have = db.n
+    for n_db in (8192, 32768):
+        big = ContourDB(cfg, capacity=n_db)
+        reps = -(-n_db // n_have)
+        big.store = jax.tree.map(
+            lambda a: jnp.tile(a[:n_have],
+                               (reps,) + (1,) * (a.ndim - 1))[:n_db],
+            db.store)
+        big.ts_store = jnp.arange(n_db, dtype=jnp.float32)
+        big.state = jnp.asarray([n_db, n_db - 32], jnp.int32)
+        big.n = n_db
+        big.seq_of_gidx = list(range(n_db))
         rec = _query_step(big.store, qdesc, big.state, cfg)
         jax.block_until_ready(rec)
-    dt_big_ms = (time.perf_counter() - t0) / 20 * 1e3
+        t0 = time.perf_counter()
+        for _ in range(20):
+            rec = _query_step(big.store, qdesc, big.state, cfg)
+            jax.block_until_ready(rec)
+        dt_big[n_db] = (time.perf_counter() - t0) / 20 * 1e3
+        del big
+    dt_big_ms = dt_big[8192]
 
     # results leave the device only now, after the timed region
     results = drain_handles(handles)
@@ -217,6 +223,7 @@ def main():
         "vs_baseline": round(BASELINE_MS / dt_dev_ms, 3),
         "batched_block16_ms": round(dt_blk_ms, 3),
         "query_8192scan_db_ms": round(dt_big_ms, 3),
+        "query_32768scan_db_ms": round(dt_big[32768], 3),
         "upload_f32_ms": round(dt_up_ms, 3),
         "upload_q16_ms": round(dt_q16_ms, 3),
         "baseline_ms": BASELINE_MS,
