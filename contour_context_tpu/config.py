@@ -77,6 +77,16 @@ class ContourManagerConfig:
                                    # the XLA default is equally fast at 150x150
     view_stat: ContourViewStatConfig = field(default_factory=ContourViewStatConfig)
 
+    def __post_init__(self):
+        # the dense check-3 tables and BCI pair-slot encoding hold 10 seqs
+        # (the reference's dist_firsts default); larger values would silently
+        # alias slots — reject loudly (db._tab_from, ops/candidate.N_SEQ)
+        if self.dist_firsts > 10:
+            raise ValueError("dist_firsts > 10 is not supported by the dense "
+                             "pair-slot layout (see ops/candidate.N_SEQ)")
+        if self.piv_firsts > 10:
+            raise ValueError("piv_firsts > 10 exceeds the pair-slot layout")
+
     @property
     def n_levels(self) -> int:
         return len(self.lv_grads)
@@ -165,7 +175,6 @@ class ContourDBConfig:
     cont_sim: ContourSimThresConfig = field(default_factory=ContourSimThresConfig)
     tb: TreeBucketConfig = field(default_factory=TreeBucketConfig)
     # TPU capacity knobs
-    key_capacity: int = 65536     # HBM key-matrix rows per query level (grows are a re-alloc)
     max_check_cands: int = 512    # candidate hints compacted into the batched check cascade
                                   # (KITTI averages ~18 hits/scan; dense/self-similar scenes
                                   # can spike into the hundreds — the cost is flat on TPU and
@@ -173,6 +182,15 @@ class ContourDBConfig:
     max_pass_hints: int = 128     # cascade survivors fed to the on-device proposal merge
     max_cand_poses: int = 32      # candidate pose rows in the on-device CandidateManager
     dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
+
+    def __post_init__(self):
+        # check-3 stats tables cover the DIST_BIN_LAYERS levels only; an
+        # anchor level outside them would silently gather a neighbor's stats
+        # (ops/cascade.gather_tab maps level -> row level-1)
+        bad = [q for q in self.q_levels if q not in DIST_BIN_LAYERS]
+        if bad:
+            raise ValueError(f"q_levels {bad} outside DIST_BIN_LAYERS "
+                             f"{DIST_BIN_LAYERS} are not supported")
 
 
 @dataclass(frozen=True)

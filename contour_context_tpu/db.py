@@ -208,21 +208,24 @@ def _gather_and_cascade(store: ScanDesc, query: ScanDesc,
                                     seq_tgt, hint_valid, thres_lb, cont_sim)
 
 
-def _gather_gmm_impl(store: ScanDesc, gidx, levels: Tuple[int, ...]) -> GmmScan:
+def _gather_gmm_impl(store: ScanDesc, gidx, levels: Tuple[int, ...],
+                     max_k: int) -> GmmScan:
     lv = jnp.array(levels, jnp.int32)
-    gm = store.gmm_mask[gidx][:, lv]
+    gm = store.gmm_mask[gidx][:, lv, :max_k]
     return GmmScan(
-        mus=store.mean[gidx][:, lv],
-        covs=store.manual_cov[gidx][:, lv],
-        ws=jnp.where(gm, store.cnt[gidx][:, lv].astype(jnp.float32), 0.0),
-        majax=jnp.sqrt(store.eig_vals[gidx][:, lv][..., 1]),
+        mus=store.mean[gidx][:, lv, :max_k],
+        covs=store.manual_cov[gidx][:, lv, :max_k],
+        ws=jnp.where(gm, store.cnt[gidx][:, lv, :max_k].astype(jnp.float32),
+                     0.0),
+        majax=jnp.sqrt(store.eig_vals[gidx][:, lv, :max_k][..., 1]),
         auto_corr=store.auto_corr[gidx],
     )
 
 
-@functools.partial(jax.jit, static_argnames=("levels",))
-def _gather_gmm(store: ScanDesc, gidx, levels: Tuple[int, ...]) -> GmmScan:
-    return _gather_gmm_impl(store, gidx, levels)
+@functools.partial(jax.jit, static_argnames=("levels", "max_k"))
+def _gather_gmm(store: ScanDesc, gidx, levels: Tuple[int, ...],
+                max_k: int) -> GmmScan:
+    return _gather_gmm_impl(store, gidx, levels, max_k)
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +333,8 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
 
     # batched GMM init correlation (screen 3/3 of tidyUpCandidates)
     cg = jnp.clip(st.cand_gidx, 0, N - 1)
-    src_gmm = _gather_gmm_impl(store, cg, tuple(cfg.gmm.levels))
+    src_gmm = _gather_gmm_impl(store, cg, tuple(cfg.gmm.levels),
+                               cfg.gmm.max_gmm_ellipses)
     tgt_gmm = gmm_from_desc(query, cfg.gmm)
     corr0, selp = init_correlation(src_gmm, tgt_gmm, T_sel,
                                    scale=cfg.gmm.cov_dilate_scale)
@@ -676,7 +680,7 @@ class ContourDB:
         assert self.n < self.capacity, "DB capacity exceeded"
         self.store, self.ts_store, self.state = _append(
             self.store, self.ts_store, self.state, desc, ts)
-        if isinstance(ts, (int, float)):
+        if isinstance(ts, (int, float, np.floating)):
             self.ts.append(float(ts))
         self.seq_of_gidx.append(seq)
         self.n += 1
@@ -874,7 +878,8 @@ class ContourDB:
         for i, (cand, _, _) in enumerate(stats):
             cg[i] = cand.gidx
             Ti[i] = cand.props[0].T
-        src_gmm = _gather_gmm(self.store, jnp.asarray(cg), tuple(cfg.gmm.levels))
+        src_gmm = _gather_gmm(self.store, jnp.asarray(cg),
+                              tuple(cfg.gmm.levels), cfg.gmm.max_gmm_ellipses)
         tgt_gmm = gmm_from_desc(query, cfg.gmm)
         corr0, sel = init_correlation(src_gmm, tgt_gmm, jnp.asarray(Ti),
                                       scale=cfg.gmm.cov_dilate_scale)

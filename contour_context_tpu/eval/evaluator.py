@@ -91,7 +91,8 @@ class ContLCDEvaluator:
     def add_prediction(self, q_seq: int, est_corr: float,
                        cand_seq: Optional[int] = None,
                        T_est_delta_2d: Optional[np.ndarray] = None,
-                       n_row: int = 150, n_col: int = 150, reso: float = 1.0
+                       n_row: int = 150, n_col: int = 150, reso: float = 1.0,
+                       reso_col: Optional[float] = None
                        ) -> PredictionOutcome:
         """Classify one prediction (addPrediction, evaluator.h:305-366).
 
@@ -108,7 +109,7 @@ class ContLCDEvaluator:
             res.id_src = cand_seq
 
             T_err = eval_metric_est(T_est_delta_2d, info_src.sens_pose, info_tgt.sens_pose,
-                                    n_row, n_col, reso)
+                                    n_row, n_col, reso, reso_col)
             err_vec = (float(T_err[0, 2]), float(T_err[1, 2]),
                        math.atan2(T_err[1, 0], T_err[0, 0]))
             res.est_err = err_vec

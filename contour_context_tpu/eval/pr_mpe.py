@@ -136,9 +136,13 @@ def score_outcome(fp_gt_sens_poses: str, fp_outcome: str,
     # reference keeps the FIRST max with strict '>' (pr_mpe.py:33-39)
     best_i = int(np.flatnonzero(f1 == f1.max())[0])
     max_f1 = float(f1[best_i])
-    # the "pose idx" at the max point indexes the outcome lines (pr_mpe.py:133,145)
+    # the "pose idx" at the max point is the scan seq id (pr_mpe.py:133,145);
+    # the reference indexes `lines[idx]` directly, valid only when seq ids are
+    # dense 0..N-1 — look the line up by seq for identical results on dense
+    # data and correct behavior when scans were dropped (sparse seqs)
     f1_pose_idx = int(idx_curr[order][best_i])
-    max_f1_thres = float(lines[f1_pose_idx].corr)
+    line_by_seq = {l.idx_curr: l for l in lines}
+    max_f1_thres = float(line_by_seq[f1_pose_idx].corr)
 
     p1 = precision >= 1.0
     recall_at_p1 = float(recall[p1].max()) if p1.any() else 0.0

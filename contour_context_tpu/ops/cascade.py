@@ -257,7 +257,6 @@ def run_cascade(
     n = jnp.maximum(wm.sum(axis=1, keepdims=True), 1.0)
     mu_s = (mean_s * wm[..., None]).sum(axis=1) / n
     mu_t = (mean_t * wm[..., None]).sum(axis=1) / n
-    ds = (mean_s - mu_s[:, None]) * wm[..., None]
     dt = (mean_t - mu_t[:, None]) * wm[..., None]
     C = jnp.einsum("hpi,hpj->hij", dt, mean_s - mu_s[:, None],
                    precision=jax.lax.Precision.HIGHEST)  # sum w (t-μt)(s-μs)^T

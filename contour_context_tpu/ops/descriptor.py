@@ -153,11 +153,14 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
     layer_cell_cnt = jnp.sum(jnp.where(valid_full, cnt, 0), axis=1)  # (L,)
     n_cont = jnp.sum(valid_full, axis=1).astype(jnp.int32)
 
-    # top-K by (cell count desc, min pixel asc); slot id = label value (pixel)
-    slot_pen = (1 << 15) - 1 - jnp.arange(S + 1, dtype=jnp.int32)
-    composite = jnp.where(valid_full, cnt * (1 << 15) + slot_pen[None], -1)
-    top_vals, top_idx = lax.top_k(composite, K)        # (L, K)
-    sel_valid = top_vals > 0
+    # top-K by (cell count desc, min pixel asc): a stable argsort on -cnt
+    # keeps ascending pixel order within equal counts (the array index IS the
+    # pixel), exact for any grid size (a packed int32 composite overflows past
+    # ~181x181 grids); invalid slots sort last via key 1 > -cnt (cnt >= 1)
+    sort_key = jnp.where(valid_full, -cnt, 1)
+    order_k = jnp.argsort(sort_key, axis=1, stable=True)[:, :K]  # (L, K)
+    sel_valid = jnp.take_along_axis(valid_full, order_k, axis=1)
+    top_idx = order_k.astype(jnp.int32)
     rep = jnp.where(sel_valid, top_idx, S)             # label value of the slot
 
     # first-pass sums

@@ -32,12 +32,15 @@ class GmmScan(NamedTuple):
 
 def gmm_from_desc(desc, gmm_cfg: GMMOptConfig) -> GmmScan:
     lev = jnp.array(gmm_cfg.levels, jnp.int32)
-    ws = jnp.where(desc.gmm_mask[lev], desc.cnt[lev].astype(jnp.float32), 0.0)
+    K = gmm_cfg.max_gmm_ellipses   # contours are area-sorted; the gmm_mask's
+    # 95%-area prefix virtually never exceeds this (correlation.h:63-71)
+    ws = jnp.where(desc.gmm_mask[lev][:, :K],
+                   desc.cnt[lev][:, :K].astype(jnp.float32), 0.0)
     return GmmScan(
-        mus=desc.mean[lev],
-        covs=desc.manual_cov[lev],
+        mus=desc.mean[lev][:, :K],
+        covs=desc.manual_cov[lev][:, :K],
         ws=ws,
-        majax=jnp.sqrt(desc.eig_vals[lev][..., 1]),
+        majax=jnp.sqrt(desc.eig_vals[lev][:, :K][..., 1]),
         auto_corr=desc.auto_corr,
     )
 

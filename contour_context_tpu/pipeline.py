@@ -97,7 +97,8 @@ class LoopClosurePipeline:
             pred = self.evaluator.add_prediction(info.seq, corr, cand_seq,
                                                  se2_mat_from_params(T3),
                                                  cfg.cm.n_row, cfg.cm.n_col,
-                                                 cfg.cm.reso_row)
+                                                 cfg.cm.reso_row,
+                                                 cfg.cm.reso_col)
             lr = LoopResult(info.seq, cand_seq, corr, pred.tfpn)
         self.results.append(lr)
 

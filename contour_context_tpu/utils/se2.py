@@ -33,27 +33,33 @@ def clamp_ang(ang: float) -> float:
     return ang - math.floor((ang + math.pi) / (2 * math.pi)) * 2 * math.pi
 
 
-def bev_T_delta_to_sensor(T_delta: np.ndarray, n_row: int, n_col: int, reso: float) -> np.ndarray:
+def bev_T_delta_to_sensor(T_delta: np.ndarray, n_row: int, n_col: int,
+                          reso_row: float, reso_col: float = None) -> np.ndarray:
     """BEV-origin-frame delta -> sensor-frame delta (getEstSensTF, correlation.h:287-296).
 
-    T_so_ssen translates by (n_row/2-0.5, n_col/2-0.5); the result's translation
-    is scaled by the grid resolution.
+    T_so_ssen translates by (n_row/2-0.5, n_col/2-0.5); the result's
+    translation is scaled per axis by the grid resolutions.
     """
+    if reso_col is None:
+        reso_col = reso_row
     T_so_ssen = se2_mat(n_row / 2 - 0.5, n_col / 2 - 0.5, 0.0)
     out = se2_inv(T_so_ssen) @ T_delta @ T_so_ssen
-    out[:2, 2] *= reso
+    out[0, 2] *= reso_row
+    out[1, 2] *= reso_col
     return out
 
 
 def eval_metric_est(T_delta: np.ndarray, gt_src_3d: np.ndarray, gt_tgt_3d: np.ndarray,
-                    n_row: int, n_col: int, reso: float) -> np.ndarray:
+                    n_row: int, n_col: int, reso_row: float,
+                    reso_col: float = None) -> np.ndarray:
     """SE(2) error of an estimated BEV delta vs 3-D gt poses (evalMetricEst,
     correlation.h:241-280).  Returns T_gt^-1 @ T_est as a 3x3 SE(2) matrix.
 
     The gt 3-D relative pose is flattened to 2-D by rotating so the two z axes
     align, then taking the xy translation and yaw.
     """
-    T_est_sens = bev_T_delta_to_sensor(T_delta, n_row, n_col, reso)
+    T_est_sens = bev_T_delta_to_sensor(T_delta, n_row, n_col, reso_row,
+                                       reso_col)
 
     T_rel = np.linalg.inv(gt_tgt_3d) @ gt_src_3d
     z0 = np.array([0.0, 0.0, 1.0])
@@ -91,8 +97,8 @@ def estimate_tf_2pt(s1, s2, t1, t2) -> np.ndarray:
 def umeyama_2d(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
     """Rigid (no-scale) 2-D umeyama: T with tgt ~= T @ src (contour_mng.h:1267).
 
-    Closed-form Kabsch on 2x2; numpy float64 host version (device version in
-    ops/umeyama.py).
+    Closed-form Kabsch on 2x2; numpy float64 host version (the device twin is
+    the atan2 closed form inline in ops/cascade.run_cascade).
     """
     mu_s = src.mean(axis=0)
     mu_t = tgt.mean(axis=0)
