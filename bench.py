@@ -73,6 +73,14 @@ def main():
 
     handles = []
 
+    # secondary phases run inside a wall-clock budget so a cold compile cache
+    # can never starve the headline JSON line (driver-side timeouts)
+    budget_s = float(os.environ.get("CONT2_BENCH_BUDGET", "400"))
+    t_start = time.perf_counter()
+
+    def in_budget():
+        return time.perf_counter() - t_start < budget_s
+
     def step(i, dev_pts, dev_ts):
         """One pipeline step from a device-resident (points, ts) payload."""
         desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
@@ -108,29 +116,31 @@ def main():
     sync()
     dt_up_ms = (time.perf_counter() - t0) / n_meas * 1e3
 
-    # phase 1b: same, int16 fixed-point wire format (half the upload bytes;
-    # dequantized on device inside build_descriptor)
-    from contour_context_tpu.utils.io import quantize_points_q16
+    # phase 1b (budget-gated): same, int16 fixed-point wire format (half the
+    # upload bytes; dequantized on device inside build_descriptor)
+    dt_q16_ms = None
+    if in_budget():
+        from contour_context_tpu.utils.io import quantize_points_q16
 
-    q_clouds = [quantize_points_q16(c) for c in clouds]
-    fifo = deque(jax.device_put((q_clouds[j], np.float32(j)))
-                 for j in range(DEPTH))
-    handles_q = []
-    for j in range(DEPTH, 2 * DEPTH):   # warm-up: compile the int16 variant
-        fifo.append(jax.device_put((q_clouds[j], np.float32(j))))
-    # reuse scan slots already in the DB timeline: re-query without appending
-    pts0, _ = fifo[0]
-    jax.block_until_ready(build_descriptor(pts0, cfg.cm, cfg.gmm))
-    t0 = time.perf_counter()
-    for j in range(n_meas):
-        cur = fifo.popleft()
-        if j + 2 * DEPTH < n_meas:
-            fifo.append(jax.device_put((q_clouds[j + 2 * DEPTH],
-                                        np.float32(j))))
-        desc = build_descriptor(cur[0], cfg.cm, cfg.gmm)
-        handles_q.append(db.query_async(desc))
-    jax.block_until_ready([h.rec for h in handles_q if h is not None])
-    dt_q16_ms = (time.perf_counter() - t0) / n_meas * 1e3
+        q_clouds = [quantize_points_q16(c) for c in clouds]
+        fifo = deque(jax.device_put((q_clouds[j], np.float32(j)))
+                     for j in range(DEPTH))
+        handles_q = []
+        for j in range(DEPTH, 2 * DEPTH):  # warm-up: compile the int16 variant
+            fifo.append(jax.device_put((q_clouds[j], np.float32(j))))
+        # reuse scan slots already in the DB: re-query without appending
+        pts0, _ = fifo[0]
+        jax.block_until_ready(build_descriptor(pts0, cfg.cm, cfg.gmm))
+        t0 = time.perf_counter()
+        for j in range(n_meas):
+            cur = fifo.popleft()
+            if j + 2 * DEPTH < n_meas:
+                fifo.append(jax.device_put((q_clouds[j + 2 * DEPTH],
+                                            np.float32(j))))
+            desc = build_descriptor(cur[0], cfg.cm, cfg.gmm)
+            handles_q.append(db.query_async(desc))
+        jax.block_until_ready([h.rec for h in handles_q if h is not None])
+        dt_q16_ms = (time.perf_counter() - t0) / n_meas * 1e3
 
     # phase 2: device-resident stream (payloads staged ahead of the clock)
     staged = [jax.device_put((clouds[n_fill + n_meas + j],
@@ -184,10 +194,12 @@ def main():
 
     from contour_context_tpu.db import _query_step
 
-    dt_big = {}
+    dt_big = {8192: None, 32768: None}
     qdesc = build_descriptor(staged[0][0], cfg.cm, cfg.gmm)
     n_have = db.n
     for n_db in (8192, 32768):
+        if not in_budget():
+            break
         big = ContourDB(cfg, capacity=n_db)
         reps = -(-n_db // n_have)
         big.store = jax.tree.map(
@@ -206,7 +218,8 @@ def main():
             jax.block_until_ready(rec)
         dt_big[n_db] = (time.perf_counter() - t0) / 20 * 1e3
         del big
-    dt_big_ms = dt_big[8192]
+    def rnd(v):
+        return round(v, 3) if v is not None else None
 
     # results leave the device only now, after the timed region
     results = drain_handles(handles)
@@ -222,10 +235,10 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / dt_dev_ms, 3),
         "batched_block16_ms": round(dt_blk_ms, 3),
-        "query_8192scan_db_ms": round(dt_big_ms, 3),
-        "query_32768scan_db_ms": round(dt_big[32768], 3),
+        "query_8192scan_db_ms": rnd(dt_big[8192]),
+        "query_32768scan_db_ms": rnd(dt_big[32768]),
         "upload_f32_ms": round(dt_up_ms, 3),
-        "upload_q16_ms": round(dt_q16_ms, 3),
+        "upload_q16_ms": rnd(dt_q16_ms),
         "baseline_ms": BASELINE_MS,
         "scans": 2 * n_meas + n_blk,
         "loops_found": n_found,
