@@ -250,9 +250,11 @@ class QueryRecord(NamedTuple):
     overflow_hints: jnp.ndarray  # () int32 valid hits beyond max_check_cands
     overflow_pass: jnp.ndarray   # () int32 passing hints beyond merge budget
     overflow_cand: jnp.ndarray   # () int32 hints dropped, candidate table full
+    overflow_pot: jnp.ndarray    # () int32 hints whose bit-adjacent pair pool
+    #                                 exceeded cascade.P_POT (window truncated)
 
 
-RECORD_WIDTH = 16   # packed record floats (14 used; ints exact in f32 < 2^24)
+RECORD_WIDTH = 16   # packed record floats (15 used; ints exact in f32 < 2^24)
 
 
 def _pack_record(rec: QueryRecord) -> jnp.ndarray:
@@ -262,8 +264,9 @@ def _pack_record(rec: QueryRecord) -> jnp.ndarray:
         rec.T.astype(jnp.float32),
         jnp.stack([f32(rec.n_hints), f32(rec.aft1), f32(rec.aft2),
                    f32(rec.aft3), f32(rec.n_cand), f32(rec.overflow_hints),
-                   f32(rec.overflow_pass), f32(rec.overflow_cand)]),
-        jnp.zeros(RECORD_WIDTH - 14, jnp.float32),
+                   f32(rec.overflow_pass), f32(rec.overflow_cand),
+                   f32(rec.overflow_pot)]),
+        jnp.zeros(RECORD_WIDTH - 15, jnp.float32),
     ])
 
 
@@ -274,7 +277,7 @@ def _unpack_record(v: np.ndarray) -> QueryRecord:
         T=v[3:6].astype(np.float64), n_hints=int(v[6]), aft1=int(v[7]),
         aft2=int(v[8]), aft3=int(v[9]), n_cand=int(v[10]),
         overflow_hints=int(v[11]), overflow_pass=int(v[12]),
-        overflow_cand=int(v[13]))
+        overflow_cand=int(v[13]), overflow_pot=int(v[14]))
 
 
 def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
@@ -371,6 +374,7 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
         overflow_hints=overflow_hints.astype(jnp.int32),
         overflow_pass=st.overflow_pass,
         overflow_cand=st.overflow_cand,
+        overflow_pot=jnp.sum(res.pot_overflow & hv).astype(jnp.int32),
     ))
 
 
@@ -628,7 +632,7 @@ class ContourDB:
         # check-cascade survivor counters (contour_db.h:356-359)
         self.counters = dict(n_hints=0, cand_aft_check1=0, cand_aft_check2=0,
                              cand_aft_check3=0, overflow_hints=0,
-                             overflow_pass=0, overflow_cand=0)
+                             overflow_pass=0, overflow_cand=0, overflow_pot=0)
 
     def _accumulate_counters(self, rec) -> None:
         self.counters["n_hints"] += int(rec.n_hints)
@@ -638,6 +642,7 @@ class ContourDB:
         self.counters["overflow_hints"] += int(rec.overflow_hints)
         self.counters["overflow_pass"] += int(rec.overflow_pass)
         self.counters["overflow_cand"] += int(rec.overflow_cand)
+        self.counters["overflow_pot"] += int(rec.overflow_pot)
 
     # -- maintenance ------------------------------------------------------
 

@@ -28,7 +28,10 @@ from contour_context_tpu.config import (
 )
 
 P_MAX = 64      # constellation pairs kept per hint (window + anchor)
-P_POT = 256     # potential (bit-adjacent) pairs kept for the angular window
+P_POT = 512     # potential (bit-adjacent) pairs kept for the angular window
+                # (the reference iterates all; dense self-similar scenes can
+                # exceed 256 — the 512 slice of the ascending-angle sort keeps
+                # the window search exact unless truncation actually occurs)
 ANG_RANGE = math.pi / 16
 SHAFT_TOP = 10  # pairs considered for the shaft (contour_mng.h:1174)
 
@@ -48,6 +51,7 @@ class CascadeResult(NamedTuple):
     pair_seq_tgt: jnp.ndarray  # (H, P) int32
     pair_area_perc: jnp.ndarray  # (H, P) f32
     T_delta: jnp.ndarray      # (H, 3) f32 (x, y, theta): T_tgt = T_delta * T_src
+    pot_overflow: jnp.ndarray  # (H,) bool — bit-adjacent pairs exceeded P_POT
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +138,7 @@ def run_cascade(
     p_src_slot = jnp.broadcast_to(jnp.arange(M)[None, :, None], (H, M, M)).reshape(H, M * M)
     p_tgt_slot = jnp.broadcast_to(jnp.arange(M)[None, None, :], (H, M, M)).reshape(H, M * M)
 
+    pot_overflow = jnp.sum(close.reshape(H, -1), axis=1) > P_POT
     order = jnp.argsort(orie, axis=1)[:, :P_POT]
     sv = jnp.take_along_axis(orie, order, axis=1)             # (H, P_POT) ascending
     s_src = jnp.take_along_axis(p_src_slot, order, axis=1)
@@ -272,4 +277,5 @@ def run_cascade(
         i_indiv_sim=i_indiv, i_orie_sim=i_orie,
         pair_valid=cstl2, pair_level=pair_level, pair_seq_src=pair_seq_src,
         pair_seq_tgt=pair_seq_tgt, pair_area_perc=area_perc, T_delta=T_delta,
+        pot_overflow=pot_overflow,
     )

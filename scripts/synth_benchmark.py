@@ -27,8 +27,10 @@ def build_trajectory(n_scans: int, rng) -> list:
     """A loopy path: several out-and-back excursions over a street grid."""
     poses = []
     x = y = th = 0.0
-    # waypoint circuit revisited on later laps with small lateral offsets
-    lap_len = max(20, n_scans // 3)
+    # waypoint circuit revisited on later laps with small lateral offsets;
+    # lap length capped so the circuit stays inside the structured world
+    # (8 m steps, world extent ~180 m -> side <= 8 * (72 // 4) = 144 m)
+    lap_len = min(max(20, n_scans // 3), 72)
     for i in range(n_scans):
         lap = i // lap_len
         k = i % lap_len
