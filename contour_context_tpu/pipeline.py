@@ -215,12 +215,9 @@ class LoopClosurePipeline:
                 break
             self.stp.lap()
             self.stp.start()
-            # double-buffered staging: the native reader writes each scan
-            # straight into a reusable pinned block buffer (no np.stack
-            # realloc+copy, which otherwise dominates the block at ~87 ms)
-            from contour_context_tpu.utils.native_loader import (
-                read_bin_padded_into)
-
+            # double-buffered staging: the native thread pool reads every scan
+            # straight into a reusable block buffer (no np.stack realloc+copy,
+            # which otherwise dominates the block at ~87 ms)
             if getattr(self, "_blk_bufs", None) is None or \
                     self._blk_bufs[0].shape != (block, cfg.cm.max_points, 4):
                 self._blk_bufs = [
@@ -231,10 +228,13 @@ class LoopClosurePipeline:
             if self._blk_prev[slot] is not None:
                 jax.block_until_ready(self._blk_prev[slot])  # buffer reusable
             buf = self._blk_bufs[slot]
-            for j, info in enumerate(infos):
-                if self._default_loader:
-                    read_bin_padded_into(info.fpath, buf[j])
-                else:
+            if self._default_loader:
+                from contour_context_tpu.utils.native_loader import (
+                    read_block_into)
+
+                read_block_into([i.fpath for i in infos], buf)
+            else:
+                for j, info in enumerate(infos):
                     buf[j] = self._ensure_padded(self._load_points(info.fpath))
             ts = np.asarray([i.ts for i in infos], np.float32)
             dev_pts, dev_ts = jax.device_put((buf, ts))

@@ -29,12 +29,17 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_CSRC, "loader.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _CSRC], check=True,
+            subprocess.run(["make", "-C", _CSRC, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -51,6 +56,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.c2_prefetcher_destroy.restype = None
     lib.c2_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.c2_read_block.restype = ctypes.c_int
+    lib.c2_read_block.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return _lib
 
@@ -77,6 +87,29 @@ def read_bin_padded_into(path: str, out: np.ndarray) -> int:
     if n < 0:
         raise IOError(f"c2_read_bin_padded failed for {path}")
     return n
+
+
+def read_block_into(paths: List[str], out: np.ndarray,
+                    n_threads: int = 4) -> None:
+    """Fill a (B, max_points, 4) f32 block buffer, one scan per row, with a
+    native thread pool (the host side of the batched replay). Falls back to
+    sequential reads without the library."""
+    B = len(paths)
+    assert out.shape[0] >= B and out.dtype == np.float32 \
+        and out.flags["C_CONTIGUOUS"]
+    lib = _load_lib()
+    if lib is None:
+        for j, p in enumerate(paths):
+            read_bin_padded_into(p, out[j])
+        return
+    arr = (ctypes.c_char_p * B)(*[p.encode() for p in paths])
+    counts = (ctypes.c_int * B)()
+    rc = lib.c2_read_block(
+        arr, B, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.shape[1], n_threads, counts)
+    if rc != 0:
+        bad = [paths[i] for i in range(B) if counts[i] < 0]
+        raise IOError(f"c2_read_block failed for {bad}")
 
 
 def read_bin_padded(path: str, max_points: int) -> np.ndarray:

@@ -170,6 +170,33 @@ int c2_read_bin_padded(const char* path, float* out, int max_points) {
   return read_bin_padded_impl(path, out, max_points);
 }
 
+// Fill a (n_paths, max_points, 4) f32 block buffer with a thread pool, one
+// scan per row (the host side of the batched block replay). Returns 0 on
+// success, -1 if any read failed; per-scan point counts land in n_out.
+int c2_read_block(const char** paths, int n_paths, float* out, int max_points,
+                  int n_threads, int* n_out) {
+  if (n_paths <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next{0};
+  std::atomic<int> failed{0};
+  const size_t row = static_cast<size_t>(max_points) * 4;
+  auto work = [&] {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n_paths) return;
+      int n = read_bin_padded_impl(paths[i], out + row * i, max_points);
+      if (n_out != nullptr) n_out[i] = n;
+      if (n < 0) failed.store(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  int nt = n_threads < n_paths ? n_threads : n_paths;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
+  for (auto& th : threads) th.join();
+  return failed.load() ? -1 : 0;
+}
+
 void* c2_prefetcher_create(const char** paths, int n_paths, int max_points,
                            int depth, int n_threads) {
   if (n_paths < 0 || max_points <= 0 || depth <= 0 || n_threads <= 0)

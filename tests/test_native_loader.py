@@ -51,6 +51,21 @@ def test_prefetcher_order_and_content(bins):
             g, pad_points(read_kitti_bin(p, 2048), 2048), err_msg=p)
 
 
+def test_read_block_into(bins, tmp_path):
+    if not native_loader.native_available():
+        pytest.skip("no native lib")
+    paths = (bins * 3)[:11]
+    out = np.full((11, 2048, 4), -9.0, np.float32)
+    native_loader.read_block_into(paths, out, n_threads=4)
+    for j, p in enumerate(paths):
+        np.testing.assert_array_equal(
+            out[j], pad_points(read_kitti_bin(p, 2048), 2048), err_msg=p)
+    with pytest.raises(IOError):
+        native_loader.read_block_into(
+            [bins[0], str(tmp_path / "missing.bin")],
+            np.empty((2, 256, 4), np.float32))
+
+
 def test_prefetcher_missing_file(bins, tmp_path):
     if not native_loader.native_available():
         pytest.skip("no native lib")
