@@ -180,7 +180,10 @@ class ContourDBConfig:
                                   # can spike into the hundreds — the cost is flat on TPU and
                                   # overflow is counted in ContourDB.counters)
     max_pass_hints: int = 128     # cascade survivors fed to the on-device proposal merge
-    max_cand_poses: int = 32      # candidate pose rows in the on-device CandidateManager
+    max_cand_poses: int = 64      # candidate pose rows in the on-device
+                                  # CandidateManager (the reference is unbounded;
+                                  # overflow_cand counts drops — 64 keeps even
+                                  # 14-lap self-similar loops mostly unclipped)
     dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
 
     def __post_init__(self):
