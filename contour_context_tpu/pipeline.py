@@ -225,8 +225,13 @@ class LoopClosurePipeline:
                     for _ in range(2)]
                 self._blk_prev = [None, None]
             slot = (n_done // block) % 2
+            # The buffer may be reused only after its CONSUMER ran: on CPU
+            # device_put aliases host memory (zero-copy), so waiting on the
+            # transfer alone lets an async batch_build read bytes of a later
+            # block (caught as corr=1.0 self-matches two blocks apart).
+            # Waiting on the descriptors pins both the transfer and the read.
             if self._blk_prev[slot] is not None:
-                jax.block_until_ready(self._blk_prev[slot])  # buffer reusable
+                jax.block_until_ready(self._blk_prev[slot])
             buf = self._blk_bufs[slot]
             if self._default_loader:
                 from contour_context_tpu.utils.native_loader import (
@@ -238,8 +243,8 @@ class LoopClosurePipeline:
                     buf[j] = self._ensure_padded(self._load_points(info.fpath))
             ts = np.asarray([i.ts for i in infos], np.float32)
             dev_pts, dev_ts = jax.device_put((buf, ts))
-            self._blk_prev[slot] = dev_pts
             descs = self._batch_build(dev_pts)
+            self._blk_prev[slot] = descs
             self.stp.record("make bev")
             self.stp.start()
             h = self.db.process_block_async(descs, [i.seq for i in infos],
