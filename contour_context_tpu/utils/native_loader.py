@@ -29,38 +29,38 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    src = os.path.join(_CSRC, "loader.cpp")
-    stale = (not os.path.exists(_LIB_PATH)
-             or (os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
-    if stale:
-        try:
-            subprocess.run(["make", "-C", _CSRC, "-B"], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            if not os.path.exists(_LIB_PATH):
-                return None
+    # `make` does its own dependency check (loader.cpp is a prerequisite) and
+    # the Makefile renames atomically, so concurrent builders are safe and a
+    # fresh .so is a no-op
+    try:
+        subprocess.run(["make", "-C", _CSRC], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        lib.c2_read_bin_padded.restype = ctypes.c_int
+        lib.c2_read_bin_padded.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.c2_prefetcher_create.restype = ctypes.c_void_p
+        lib.c2_prefetcher_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.c2_prefetcher_next.restype = ctypes.c_int
+        lib.c2_prefetcher_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.c2_prefetcher_destroy.restype = None
+        lib.c2_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+        lib.c2_read_block.restype = ctypes.c_int
+        lib.c2_read_block.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+    except (OSError, AttributeError):
+        # missing lib, broken dlopen, or a stale .so lacking newer symbols:
+        # the native path is an accelerator, never a requirement
         return None
-    lib.c2_read_bin_padded.restype = ctypes.c_int
-    lib.c2_read_bin_padded.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
-    lib.c2_prefetcher_create.restype = ctypes.c_void_p
-    lib.c2_prefetcher_create.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int]
-    lib.c2_prefetcher_next.restype = ctypes.c_int
-    lib.c2_prefetcher_next.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
-    lib.c2_prefetcher_destroy.restype = None
-    lib.c2_prefetcher_destroy.argtypes = [ctypes.c_void_p]
-    lib.c2_read_block.restype = ctypes.c_int
-    lib.c2_read_block.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return _lib
 
