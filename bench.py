@@ -60,7 +60,7 @@ def main():
     n_fill = 60      # warm-up scans pre-inserted into the DB
     n_meas = 60      # measured steady-state scans (x2 phases)
 
-    db = ContourDB(cfg, capacity=n_fill + 2 * n_meas + 56)  # +48 block scans
+    db = ContourDB(cfg, capacity=n_fill + 2 * n_meas + 56 + 192)  # + block phases
     n_tot = n_fill + 2 * n_meas
     # out-and-back trajectory: the final phase retraces the outbound path, so
     # the measured steady state includes genuine loop closures (full branch)
@@ -186,6 +186,35 @@ def main():
     jax.block_until_ready(blk_handles[-1].recs)
     dt_blk_ms = (time.perf_counter() - t0) / (n_blk - B) * 1e3
 
+    # phase 3b (budget-gated): block-64 — the throughput ceiling; exact
+    # window parity holds for any B (db._process_block replays per-scan pops)
+    dt_blk64_ms = None
+    if in_budget():
+        B2 = 64
+        n2 = n_tot + n_blk
+        clouds64 = [pad_points(
+            render_scan(world, (4.0 * (i % n_out), -1.2, 0.05),
+                        seed=int(rng.integers(1 << 30))), cfg.cm.max_points)
+            for i in range(3 * B2)]
+        bb64 = jax.jit(jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
+        staged64 = [jax.device_put((np.stack(clouds64[k * B2:(k + 1) * B2]),
+                                    np.arange(n2 + k * B2, n2 + (k + 1) * B2,
+                                              dtype=np.float32)))
+                    for k in range(3)]
+        jax.block_until_ready(staged64)
+        h = db.process_block_async(bb64(staged64[0][0]),
+                                   list(range(n2, n2 + B2)), staged64[0][1])
+        jax.block_until_ready(h.recs)          # compile warm-up
+        t0 = time.perf_counter()
+        hs64 = []
+        for k in (1, 2):
+            i0 = n2 + k * B2
+            hs64.append(db.process_block_async(
+                bb64(staged64[k][0]), list(range(i0, i0 + B2)), staged64[k][1]))
+        jax.block_until_ready(hs64[-1].recs)
+        dt_blk64_ms = (time.perf_counter() - t0) / (2 * B2) * 1e3
+        blk_handles.extend([h] + hs64)
+
     # phase 4: query latency against production-scale DBs (the real scans
     # tiled to fill the store — honest for search/cascade scaling; contents
     # repeat but shapes and work don't). 32768 scans ~= a 55 min drive @10 Hz,
@@ -235,12 +264,13 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / dt_dev_ms, 3),
         "batched_block16_ms": round(dt_blk_ms, 3),
+        "batched_block64_ms": rnd(dt_blk64_ms),
         "query_8192scan_db_ms": rnd(dt_big[8192]),
         "query_32768scan_db_ms": rnd(dt_big[32768]),
         "upload_f32_ms": round(dt_up_ms, 3),
         "upload_q16_ms": rnd(dt_q16_ms),
         "baseline_ms": BASELINE_MS,
-        "scans": 2 * n_meas + n_blk,
+        "scans": len(results),
         "loops_found": n_found,
         "note": "upload_* include per-scan H2D through this harness's "
                 "~40 MB/s / 25 ms-latency tunnel (prefetch-pipelined); a "
