@@ -50,7 +50,8 @@ class LoopClosurePipeline:
 
     def __init__(self, cfg: PipelineConfig, evaluator: ContLCDEvaluator,
                  capacity: int = 8192, block_for_timing: bool = False,
-                 save_mid_dir: Optional[str] = None):
+                 save_mid_dir: Optional[str] = None,
+                 q16_transport: bool = False):
         self.cfg = cfg
         self.evaluator = evaluator
         self.db = ContourDB(cfg, capacity)
@@ -61,6 +62,10 @@ class LoopClosurePipeline:
         # per-scan contour dumps + BEV images. Debug only: it fetches the
         # descriptor to host every scan, which is slow on tunneled runtimes.
         self.save_mid_dir = save_mid_dir
+        # int16 fixed-point wire format (1/256 m): halves upload bytes on
+        # bandwidth-limited host links; dequantized on device (descriptor
+        # parity within mm-scale quantization, tests/test_descriptor.py)
+        self.q16_transport = q16_transport
         self._pending: deque = deque()   # (LaserScanInfo, QueryHandle|None)
         self._prefetched = None          # (seq, (dev_pts, dev_ts))
         # native C++ mmap reader when csrc/libcont2.so builds; numpy otherwise
@@ -84,6 +89,9 @@ class LoopClosurePipeline:
         import jax
 
         pts = self._ensure_padded(self._load_points(info.fpath))
+        if self.q16_transport:
+            from contour_context_tpu.utils.io import quantize_points_q16
+            pts = quantize_points_q16(pts)
         return jax.device_put((pts, np.float32(info.ts)))
 
     def _process(self, info, res) -> None:
@@ -242,7 +250,13 @@ class LoopClosurePipeline:
                 for j, info in enumerate(infos):
                     buf[j] = self._ensure_padded(self._load_points(info.fpath))
             ts = np.asarray([i.ts for i in infos], np.float32)
-            dev_pts, dev_ts = jax.device_put((buf, ts))
+            if self.q16_transport:
+                from contour_context_tpu.utils.io import quantize_points_q16
+                send = quantize_points_q16(
+                    buf.reshape(-1, 4)).reshape(buf.shape)  # fresh array
+            else:
+                send = buf
+            dev_pts, dev_ts = jax.device_put((send, ts))
             descs = self._batch_build(dev_pts)
             self._blk_prev[slot] = descs
             self.stp.record("make bev")
