@@ -384,6 +384,38 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
     return _query_step_impl(store, query, state[1], pcfg)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("pcfg",))
+def _scan_step(store: ScanDesc, ts_store, state, points, ts,
+               pcfg: PipelineConfig):
+    """The FULLY fused per-scan streaming step, one dispatch per scan:
+
+        points -> descriptor build -> query (window state BEFORE this scan's
+        push, the reference's query -> addScan -> pushAndBalance order,
+        batch_bin_test.cpp:105-238) -> append -> temporal-window update.
+
+    vs the 4-dispatch path (build / query / append / window) this removes
+    three host->device dispatch round trips per scan — on high-latency
+    runtimes dispatch overhead, not compute, dominates the streaming loop.
+    Returns (store', ts_store', state', packed record).
+    """
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
+    rec = _query_step_impl(store, desc, state[1], pcfg)
+    n = state[0]
+    store = jax.tree.map(
+        lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, n, 0),
+        store, desc)
+    ts_store = jax.lax.dynamic_update_index_in_dim(
+        ts_store, jnp.asarray(ts, ts_store.dtype), n, 0)
+    state = state.at[0].add(1)
+    tb = pcfg.db.tb
+    state = _update_window_impl(state, ts_store, ts, tb.min_elapse,
+                                tb.max_elapse)
+    return store, ts_store, state, rec
+
+
 def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
     n, pop_ptr = state[0], state[1]
     idx = jnp.arange(ts_store.shape[0], dtype=jnp.int32)
@@ -673,14 +705,47 @@ class ContourDB:
         if self.store is not None and self.n + need > self.capacity:
             self._grow(max(2 * self.capacity, self.n + need))
 
+    def _init_store(self, desc: Optional[ScanDesc] = None) -> None:
+        """Allocate the device store. Shapes come from `desc` when given,
+        else from an eval_shape of the descriptor builder (no compute)."""
+        if desc is None:
+            from contour_context_tpu.ops.descriptor import build_descriptor
+
+            desc = jax.eval_shape(
+                lambda p: build_descriptor(p, self.cfg.cm, self.cfg.gmm),
+                jax.ShapeDtypeStruct((self.cfg.cm.max_points, 4), jnp.float32))
+        self.store = jax.tree.map(
+            lambda x: jnp.zeros((self.capacity,) + x.shape, x.dtype), desc)
+        self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
+        self.state = jnp.zeros((2,), jnp.int32)
+
+    def step_async(self, points, seq: int, ts) -> QueryHandle:
+        """ONE fused dispatch per scan: descriptor build + query + append +
+        temporal-window update (reference per-scan order: queryRangedKNN ->
+        addScan -> pushAndBalance, batch_bin_test.cpp:105-238).
+
+        `points` is the (max_points, 4) payload (f32, or the int16 q16 wire
+        format); `ts` may be a host float or a device scalar shipped with the
+        payload. The returned QueryHandle's record reflects the DB state
+        BEFORE this scan was appended — exact parity with the unfused
+        query_async/add_scan/push_and_balance sequence (test_fused_query)."""
+        if self.store is None:
+            self._init_store()
+        self._ensure_capacity(1)
+        assert self.n < self.capacity, "DB capacity exceeded"
+        self.store, self.ts_store, self.state, rec = _scan_step(
+            self.store, self.ts_store, self.state, points, ts, self.cfg)
+        if isinstance(ts, (int, float, np.floating)):
+            self.ts.append(float(ts))
+        self.seq_of_gidx.append(seq)
+        self.n += 1
+        return QueryHandle(rec, self)
+
     def add_scan(self, desc: ScanDesc, seq: int, ts):
         """Append a scan. `ts` may be a host float (convenience) or a device
         scalar shipped with the scan payload (the zero-upload prod path)."""
         if self.store is None:
-            self.store = jax.tree.map(
-                lambda x: jnp.zeros((self.capacity,) + x.shape, x.dtype), desc)
-            self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
-            self.state = jnp.zeros((2,), jnp.int32)
+            self._init_store(desc)
         self._ensure_capacity(1)
         assert self.n < self.capacity, "DB capacity exceeded"
         self.store, self.ts_store, self.state = _append(
@@ -758,11 +823,8 @@ class ContourDB:
         B = int(ts_b.shape[0])
         assert B == len(seqs)
         if self.store is None:
-            self.store = jax.tree.map(
-                lambda x: jnp.zeros((self.capacity,) + x.shape[1:], x.dtype),
-                descs)
-            self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
-            self.state = jnp.zeros((2,), jnp.int32)
+            self._init_store(jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype), descs))
         self._ensure_capacity(B)
         assert self.n + B <= self.capacity, "DB capacity exceeded"
         self.store, self.ts_store, self.state, recs = _process_block(

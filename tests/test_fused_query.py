@@ -100,6 +100,58 @@ def test_fused_matches_host_dynamic_thres():
     assert n_found >= 1, outcomes
 
 
+@pytest.mark.slow
+def test_scan_step_matches_unfused():
+    """db.step_async (ONE dispatch: build+query+append+window) must produce
+    identical records and identical final DB state as the 4-dispatch
+    build_descriptor / query_async / add_scan / push_and_balance sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import _unpack_record
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(7, n_structs=200, extent=150.0)
+    poses = [(9.0 * i, 0.0, 0.0) for i in range(7)]
+    poses.append((9.2, 0.3, 0.05))     # revisit pose 1
+    poses.append((27.2, -0.3, -0.05))  # revisit pose 3
+    clouds = [pad_points(render_scan(world, p, seed=40 + i), cfg.cm.max_points)
+              for i, p in enumerate(poses)]
+
+    db_a = ContourDB(cfg, capacity=len(poses) + 2)
+    db_b = ContourDB(cfg, capacity=len(poses) + 2)
+    recs_a, recs_b = [], []
+    for i, pts in enumerate(clouds):
+        ts = 6.0 * i
+        h = db_a.step_async(pts, i, ts)
+        recs_a.append(np.asarray(jax.device_get(h.rec)))
+
+        desc = build_descriptor(jnp.asarray(pts), cfg.cm, cfg.gmm)
+        hb = db_b.query_async(desc)
+        recs_b.append(None if hb is None
+                      else np.asarray(jax.device_get(hb.rec)))
+        db_b.add_scan(desc, i, ts)
+        db_b.push_and_balance(ts)
+
+    n_found = 0
+    for i, (ra, rb) in enumerate(zip(recs_a, recs_b)):
+        if rb is None:  # empty-DB query: fused path must report not-found
+            assert _unpack_record(ra).found is False, i
+            continue
+        np.testing.assert_allclose(ra, rb, rtol=1e-4, atol=1e-4)
+        n_found += int(_unpack_record(ra).found)
+    assert n_found >= 1, [(_unpack_record(r).found) for r in recs_a]
+
+    # final device state identical (store rows, timestamps, window)
+    np.testing.assert_array_equal(np.asarray(db_a.state), np.asarray(db_b.state))
+    np.testing.assert_array_equal(np.asarray(db_a.ts_store),
+                                  np.asarray(db_b.ts_store))
+    for la, lb in zip(jax.tree.leaves(db_a.store), jax.tree.leaves(db_b.store)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_merge_proposals_vs_host_replica():
     """Randomized proposal streams: device merge == host AnchorProp merge."""
     import jax.numpy as jnp
