@@ -28,6 +28,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--timing-log", help="append the stage-timing report here")
     ap.add_argument("--save-mid-dir",
                     help="write per-scan contour dumps + BEV images here")
+    ap.add_argument("--fused-step", action="store_true",
+                    help="one device dispatch per scan (lowest latency; "
+                         "collapses the per-stage timing report)")
     args = ap.parse_args(argv)
 
     cfg = PipelineConfig()
@@ -46,7 +49,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     ev = ContLCDEvaluator(fpath_pose, fpath_laser, cfg.correlation_thres)
     pipe = LoopClosurePipeline(cfg, ev, capacity=max(len(ev) + 8, 64),
-                               save_mid_dir=args.save_mid_dir)
+                               save_mid_dir=args.save_mid_dir,
+                               fused_step=args.fused_step)
     pipe.run(max_scans=args.max_scans, progress_every=200)
     pipe.save_outcome(fpath_outcome)
     pipe.stp.print_screen()

@@ -51,7 +51,8 @@ class LoopClosurePipeline:
     def __init__(self, cfg: PipelineConfig, evaluator: ContLCDEvaluator,
                  capacity: int = 8192, block_for_timing: bool = False,
                  save_mid_dir: Optional[str] = None,
-                 q16_transport: bool = False):
+                 q16_transport: bool = False,
+                 fused_step: bool = False):
         self.cfg = cfg
         self.evaluator = evaluator
         self.db = ContourDB(cfg, capacity)
@@ -66,6 +67,11 @@ class LoopClosurePipeline:
         # bandwidth-limited host links; dequantized on device (descriptor
         # parity within mm-scale quantization, tests/test_descriptor.py)
         self.q16_transport = q16_transport
+        # ONE dispatch per scan (db.step_async: build+query+append+window)
+        # instead of four — the lowest-latency streaming mode. Mutually
+        # exclusive with save_mid_dir (which needs the descriptor on host)
+        # and collapses the per-stage timing report into one "scan step" row.
+        self.fused_step = fused_step and save_mid_dir is None
         self._pending: deque = deque()   # (LaserScanInfo, QueryHandle|None)
         self._prefetched = None          # (seq, (dev_pts, dev_ts))
         # native C++ mmap reader when csrc/libcont2.so builds; numpy otherwise
@@ -154,6 +160,15 @@ class LoopClosurePipeline:
         nxt = ev.peek_next()
         if nxt is not None:
             self._prefetched = (nxt.seq, self._upload(nxt))
+        if self.fused_step:
+            handle = self.db.step_async(dev_pts, info.seq, dev_ts)
+            if self.block:
+                jax.block_until_ready(handle.rec)
+            self.stp.record("scan step (fused)")
+            self._pending.append((info, handle))
+            if len(self._pending) >= 2 * DRAIN_BLOCK:
+                self._drain_block(DRAIN_BLOCK)
+            return
         desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
         if self.block:
             jax.block_until_ready(desc)

@@ -109,6 +109,47 @@ def test_q16_transport_pipeline(tmp_path):
 
 
 @pytest.mark.slow
+def test_fused_step_pipeline(tmp_path):
+    """fused_step mode (ONE dispatch/scan) finds the same revisit through the
+    file driver, including with the int16 wire format."""
+    import sys
+
+    sys.path.insert(0, "tests")
+
+    from contour_context_tpu.eval.evaluator import ContLCDEvaluator
+    from contour_context_tpu.pipeline import LoopClosurePipeline
+
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)] + [(10.5, 0.8, 0.2)]
+    pl, ll = [], []
+    for i, p in enumerate(poses):
+        pts = render_scan(world, p, seed=500 + i)
+        arr = np.zeros((len(pts), 4), np.float32)
+        arr[:, :3] = pts
+        bp = str(tmp_path / ("%06d.bin" % i))
+        arr.tofile(bp)
+        T = se3_from_xyt(p)
+        pl.append("%.6f %s" % (6.0 * i, " ".join(
+            "%.6f" % v for v in T[:3, :4].reshape(-1))))
+        ll.append("%.6f %d %s" % (6.0 * i, i, bp))
+    f_pose = str(tmp_path / "p.txt")
+    f_laser = str(tmp_path / "l.txt")
+    open(f_pose, "w").write("\n".join(pl))
+    open(f_laser, "w").write("\n".join(ll))
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    for q16 in (False, True):
+        ev = ContLCDEvaluator(f_pose, f_laser, cfg.correlation_thres)
+        pipe = LoopClosurePipeline(cfg, ev, capacity=16, fused_step=True,
+                                   q16_transport=q16)
+        pipe.run()
+        found = {r.q_seq: r for r in pipe.results
+                 if r.correlation >= cfg.correlation_thres}
+        assert 8 in found and found[8].cand_seq == 1, (q16, pipe.results)
+        assert all(q == 8 for q in found), (q16, found)
+
+
+@pytest.mark.slow
 def test_e2e_revisit_found(tmp_path):
     """Spread timestamps so revisits are searchable, assert the loop is found."""
     cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
