@@ -21,11 +21,8 @@ from contour_context_tpu.eval.pr_mpe import score_outcome
 from contour_context_tpu.pipeline import LoopClosurePipeline
 
 
-@pytest.mark.slow
-def test_end_to_end_recognition_quality(tmp_path):
-    rng = np.random.default_rng(3)
-    world = make_world(3, n_structs=240, extent=140.0)
-    # two laps of a 20-pose square circuit (8 m steps)
+def square_lap():
+    """20-pose square circuit (8 m steps) used by the quality tests."""
     lap = []
     for k in range(20):
         side, k4 = divmod(k, 5)
@@ -37,6 +34,67 @@ def test_end_to_end_recognition_quality(tmp_path):
             lap.append((40.0 - 8.0 * k4, 40.0, 3.1416))
         else:
             lap.append((0.0, 40.0 - 8.0 * k4, -1.5708))
+    return lap
+
+
+@pytest.mark.slow
+def test_reverse_direction_loop_closure():
+    """Rotation invariance end-to-end: lap 2 retraces the circuit in the
+    OPPOSITE direction (heading flipped by pi), so every revisit differs by
+    ~180 deg yaw. The constellation/BCI design is rotation-invariant by
+    construction (reference contour_mng.h:288-388 encodes only relative
+    distances/bearings); this pins that property through the whole pipeline:
+    high recall on the window-eligible reverse revisits, zero FPs, and the
+    recovered SE(2) includes the pi yaw."""
+    from contour_context_tpu.db import ContourDB
+    from contour_context_tpu.ops.descriptor import build_descriptor  # noqa: F401
+    from contour_context_tpu.utils.io import pad_points
+    from contour_context_tpu.utils.se2 import eval_metric_est, se2_mat
+
+    rng = np.random.default_rng(3)
+    world = make_world(3, n_structs=240, extent=140.0)
+    lap = square_lap()
+    poses = list(lap)
+    poses += [(x + rng.uniform(-0.4, 0.4), y + rng.uniform(-0.4, 0.4),
+               th + np.pi + rng.uniform(-0.05, 0.05))
+              for x, y, th in reversed(lap)]
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    db = ContourDB(cfg, capacity=len(poses) + 4)
+    found = {}
+    for i, p in enumerate(poses):
+        ts = 2.0 * i   # query i sees scans j <= i-8 (>=15 s window)
+        pts = render_scan(world, p, seed=900 + i)
+        h = db.step_async(pad_points(pts, cfg.cm.max_points), i, ts)
+        r = h.get()
+        if r is not None and r[1] >= cfg.correlation_thres:
+            found[i] = (db.seq_of_gidx[r[0]], r[1], r[2])
+
+    # lap-2 scan q's counterpart is lap-1 pose 39-q; searchable once 39-q <=
+    # q-8, i.e. q >= 24 -> 16 window-eligible reverse revisits
+    tp = fp = 0
+    for q, (c, corr, T3) in found.items():
+        pq, pc = poses[q], poses[c]
+        if (np.hypot(pq[0] - pc[0], pq[1] - pc[1]) < 5.0
+                and q >= 20 and c < 20):
+            tp += 1
+            Te = eval_metric_est(se2_mat(*T3), se3_from_xyt(pc),
+                                 se3_from_xyt(pq), cfg.cm.n_row, cfg.cm.n_col,
+                                 cfg.cm.reso_row)
+            assert np.hypot(Te[0, 2], Te[1, 2]) < 0.3, (q, c, Te)
+            assert abs(np.arctan2(Te[1, 0], Te[0, 0])) < np.deg2rad(0.5), (q, c)
+        else:
+            fp += 1
+    assert fp == 0, found
+    assert tp >= 11, (tp, found)   # 14/16 measured; margin for jitter
+
+
+@pytest.mark.slow
+def test_end_to_end_recognition_quality(tmp_path):
+    rng = np.random.default_rng(3)
+    world = make_world(3, n_structs=240, extent=140.0)
+    # two laps of a 20-pose square circuit (8 m steps)
+    lap = square_lap()
     poses = list(lap)
     poses += [(x + rng.uniform(-0.4, 0.4), y + rng.uniform(-0.4, 0.4),
                th + rng.uniform(-0.05, 0.05)) for x, y, th in lap]
