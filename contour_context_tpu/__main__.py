@@ -30,7 +30,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="write per-scan contour dumps + BEV images here")
     ap.add_argument("--fused-step", action="store_true",
                     help="one device dispatch per scan (lowest latency; "
-                         "collapses the per-stage timing report)")
+                         "collapses the per-stage timing report; ignored "
+                         "when --save-mid-dir is set, which needs the "
+                         "descriptor on host)")
     args = ap.parse_args(argv)
 
     cfg = PipelineConfig()

@@ -64,12 +64,13 @@ MAX_DIST_SQ = 1e6  # contour_db.h:30
 # device helpers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _append(store: ScanDesc, ts_store, state, desc: ScanDesc, ts):
+def _append_impl(store: ScanDesc, ts_store, state, desc: ScanDesc, ts):
     """Append desc at row state[0]; state = (n, pop_ptr) int32 device scalars.
 
     The row index lives on device so the steady-state loop uploads nothing —
     per-scan H2D over a high-latency link would dominate the pipeline.
+    The single definition is shared by _append, _scan_step and
+    _process_block so the three entry modes cannot fork append semantics.
     """
     n = state[0]
     new_store = jax.tree.map(
@@ -78,6 +79,11 @@ def _append(store: ScanDesc, ts_store, state, desc: ScanDesc, ts):
     new_ts = jax.lax.dynamic_update_index_in_dim(
         ts_store, jnp.asarray(ts, ts_store.dtype), n, 0)
     return new_store, new_ts, state.at[0].add(1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _append(store: ScanDesc, ts_store, state, desc: ScanDesc, ts):
+    return _append_impl(store, ts_store, state, desc, ts)
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnames=("min_elapse", "max_elapse"))
@@ -403,13 +409,7 @@ def _scan_step(store: ScanDesc, ts_store, state, points, ts,
 
     desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
     rec = _query_step_impl(store, desc, state[1], pcfg)
-    n = state[0]
-    store = jax.tree.map(
-        lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, n, 0),
-        store, desc)
-    ts_store = jax.lax.dynamic_update_index_in_dim(
-        ts_store, jnp.asarray(ts, ts_store.dtype), n, 0)
-    state = state.at[0].add(1)
+    store, ts_store, state = _append_impl(store, ts_store, state, desc, ts)
     tb = pcfg.db.tb
     state = _update_window_impl(state, ts_store, ts, tb.min_elapse,
                                 tb.max_elapse)
@@ -446,15 +446,8 @@ def _process_block(store: ScanDesc, ts_store, state, descs: ScanDesc, ts_b,
     tb = pcfg.db.tb
 
     def append_one(carry, x):
-        st_store, st_ts, st_state = carry
         desc, t = x
-        n = st_state[0]
-        st_store = jax.tree.map(
-            lambda buf, v: jax.lax.dynamic_update_index_in_dim(buf, v, n, 0),
-            st_store, desc)
-        st_ts = jax.lax.dynamic_update_index_in_dim(
-            st_ts, jnp.asarray(t, st_ts.dtype), n, 0)
-        return (st_store, st_ts, st_state.at[0].add(1)), None
+        return _append_impl(*carry, desc, t), None
 
     (store, ts_store, state), _ = jax.lax.scan(
         append_one, (store, ts_store, state), (descs, ts_b))

@@ -71,6 +71,9 @@ class LoopClosurePipeline:
         # instead of four — the lowest-latency streaming mode. Mutually
         # exclusive with save_mid_dir (which needs the descriptor on host)
         # and collapses the per-stage timing report into one "scan step" row.
+        if fused_step and save_mid_dir is not None:
+            print("warning: fused_step disabled — save_mid_dir needs the "
+                  "descriptor on host (falling back to the 4-dispatch path)")
         self.fused_step = fused_step and save_mid_dir is None
         self._pending: deque = deque()   # (LaserScanInfo, QueryHandle|None)
         self._prefetched = None          # (seq, (dev_pts, dev_ts))

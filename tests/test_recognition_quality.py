@@ -47,7 +47,6 @@ def test_reverse_direction_loop_closure():
     high recall on the window-eligible reverse revisits, zero FPs, and the
     recovered SE(2) includes the pi yaw."""
     from contour_context_tpu.db import ContourDB
-    from contour_context_tpu.ops.descriptor import build_descriptor  # noqa: F401
     from contour_context_tpu.utils.io import pad_points
     from contour_context_tpu.utils.se2 import eval_metric_est, se2_mat
 
