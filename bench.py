@@ -251,6 +251,7 @@ def main():
     from contour_context_tpu.db import _query_step
 
     dt_big = {8192: None, 32768: None}
+    dt_loc_ms = None
     qdesc = build_descriptor(staged[0][0], cfg.cm, cfg.gmm)
     n_have = db.n
     for n_db in (8192, 32768):
@@ -273,6 +274,26 @@ def main():
             rec = _query_step(big.store, qdesc, big.state, cfg)
             jax.block_until_ready(rec)
         dt_big[n_db] = (time.perf_counter() - t0) / 20 * 1e3
+
+        # phase 4b (budget-gated): map-serving throughput — localize a block
+        # of B3 raw point clouds against this frozen city-scale map in ONE
+        # dispatch (vmapped descriptor build + batched fused queries,
+        # db.localize_block_async / _localize_block)
+        if n_db == 32768 and in_budget():
+            from contour_context_tpu.db import _localize_block
+
+            # B3=16 keeps the batched (B3, Q, A, N*A) distance tensor within
+            # ~0.5 GB; larger serving batches should chunk via lax.map
+            B3 = 16
+            loc_dev = jax.device_put(
+                np.stack([clouds[j % len(clouds)] for j in range(B3)]))
+            recs = _localize_block(big.store, big.state, loc_dev, cfg)
+            jax.block_until_ready(recs)          # compile warm-up
+            t0 = time.perf_counter()
+            for _ in range(3):
+                recs = _localize_block(big.store, big.state, loc_dev, cfg)
+                jax.block_until_ready(recs)
+            dt_loc_ms = (time.perf_counter() - t0) / (3 * B3) * 1e3
         del big
     def rnd(v):
         return round(v, 3) if v is not None else None
@@ -296,6 +317,7 @@ def main():
         "batched_block64_ms": rnd(dt_blk64_ms),
         "query_8192scan_db_ms": rnd(dt_big[8192]),
         "query_32768scan_db_ms": rnd(dt_big[32768]),
+        "localize_block16_vs_32768map_ms": rnd(dt_loc_ms),
         "upload_f32_ms": round(dt_up_ms, 3),
         "upload_q16_ms": rnd(dt_q16_ms),
         "baseline_ms": BASELINE_MS,

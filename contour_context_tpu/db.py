@@ -426,6 +426,19 @@ def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
     return state.at[1].set(new_pop)
 
 
+@functools.partial(jax.jit, static_argnames=("pcfg",))
+def _localize_block(store: ScanDesc, state, points_b, pcfg: PipelineConfig):
+    """Map-serving mode: B point clouds -> B packed records, ONE dispatch,
+    WITHOUT mutating the store (descriptor build vmapped + batched queries
+    against the frozen searchable prefix). No reference analog — the
+    reference couples query and insert in one streaming loop; a TPU chip
+    serving a prebuilt map wants the decoupled, batched form."""
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    descs = jax.vmap(lambda p: build_descriptor(p, pcfg.cm, pcfg.gmm))(points_b)
+    return jax.vmap(lambda q: _query_step_impl(store, q, state[1], pcfg))(descs)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
                    static_argnames=("pcfg",))
 def _process_block(store: ScanDesc, ts_store, state, descs: ScanDesc, ts_b,
@@ -825,6 +838,17 @@ class ContourDB:
             jnp.asarray(ts_b, jnp.float32), self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += B
+        return BlockHandle(recs, self)
+
+    def localize_block_async(self, points_b) -> Optional["BlockHandle"]:
+        """Batched localization against the FROZEN map: B point clouds in,
+        B records out, one dispatch, nothing appended. `points_b` is
+        (B, max_points, 4) f32 (or the int16 q16 wire format). Use after
+        building/loading a map (e.g. ContourDB.load) to serve localization
+        queries at block throughput."""
+        if self.store is None:
+            return None
+        recs = _localize_block(self.store, self.state, points_b, self.cfg)
         return BlockHandle(recs, self)
 
     # -- query ------------------------------------------------------------

@@ -41,6 +41,64 @@ def test_db_grow():
 
 
 @pytest.mark.slow
+def test_db_grow_fused_step():
+    """Capacity growth mid-stream through the fused one-dispatch step."""
+    world = make_world(11, n_structs=220, extent=160.0)
+    db = ContourDB(CFG, capacity=4)
+    for i in range(6):
+        pts = pad_points(render_scan(world, (10.0 * i, 0.0, 0.0), seed=500 + i),
+                         CFG.cm.max_points)
+        db.step_async(pts, i, 6.0 * i)      # grows past 4 at i=4
+    assert db.capacity >= 6 and db.n == 6
+
+    pts = pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                     CFG.cm.max_points)
+    r = db.step_async(pts, 6, 36.0).get()
+    assert r is not None and db.seq_of_gidx[r[0]] == 1, r
+
+
+@pytest.mark.slow
+def test_localize_block_matches_per_scan():
+    """Map-serving mode: one batched dispatch over B query clouds ==
+    per-scan query_async against the same frozen store; store unchanged."""
+    import jax
+
+    world, descs = _descs(8)
+    db = ContourDB(CFG, capacity=8)
+    for i, d in enumerate(descs):
+        db.add_scan(d, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+
+    q_pts = np.stack([
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   CFG.cm.max_points),          # revisit of scan 1
+        pad_points(render_scan(world, (20.3, -0.5, -0.1), seed=901),
+                   CFG.cm.max_points),          # revisit of scan 2
+        pad_points(render_scan(world, (500.0, 500.0, 0.0), seed=902),
+                   CFG.cm.max_points),          # nowhere
+    ])
+    n_before = db.n
+    state_before = np.asarray(jax.device_get(db.state))
+    blk = db.localize_block_async(q_pts).get()
+    assert db.n == n_before
+    np.testing.assert_array_equal(np.asarray(jax.device_get(db.state)),
+                                  state_before)
+
+    for b in range(q_pts.shape[0]):
+        d = build_descriptor(q_pts[b], CFG.cm, CFG.gmm)
+        ref = db.query_async(d).get()
+        if ref is None:
+            assert blk[b] is None, (b, blk[b])
+        else:
+            assert blk[b] is not None, b
+            assert blk[b][0] == ref[0], (b, blk[b], ref)
+            np.testing.assert_allclose(blk[b][1], ref[1], rtol=1e-4)
+            np.testing.assert_allclose(blk[b][2], ref[2], rtol=1e-4, atol=1e-4)
+    assert blk[0] is not None and db.seq_of_gidx[blk[0][0]] == 1
+    assert blk[2] is None
+
+
+@pytest.mark.slow
 def test_sharded_query_matches_single():
     import jax
     import jax.numpy as jnp
