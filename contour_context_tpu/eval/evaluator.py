@@ -133,6 +133,23 @@ class ContLCDEvaluator:
         self.pred_records.append(res)
         return res
 
+    def save_reindexed_dataset(self, sav_pose: str, sav_laser: str,
+                               hz: float = 10.0) -> int:
+        """MulRan stationary-time reindexing (the reference's commented
+        "save gt pose and bin path" block, evaluator.h:201-232 + README
+        "Additional steps"): rewrite the ASSOCIATED scan list with uniform
+        i/hz timestamps. MulRan vehicles idle at red lights, so wall-clock
+        gaps make the >=15 s exclusion window inconsistent in frame terms;
+        after reindexing the window is a fixed frame gap. Returns the scan
+        count; feed the two new files back as fpath_sens_gt_pose /
+        fpath_lidar_bins."""
+        with open(sav_laser, "w") as f4, open(sav_pose, "w") as f5:
+            for i, info in enumerate(self.laser_info):
+                f4.write("%.2f %d %s\n" % (i / hz, i, info.fpath))
+                f5.write("%.2f %s\n" % (i / hz, " ".join(
+                    "%.6f" % info.sens_pose[j // 4, j % 4] for j in range(12))))
+        return len(self.laser_info)
+
     def save_prediction_results(self, sav_path: str) -> None:
         """Write the outcome file (savePredictionResults, evaluator.h:370-425).
 

@@ -40,8 +40,13 @@ class OnlineSpinner:
     def __init__(self, cfg: PipelineConfig, capacity: int = 8192,
                  on_loop: Optional[Callable[[LoopDetection], None]] = None,
                  control_file: Optional[str] = None,
-                 drain_block: int = 8, queue_depth: int = 32):
+                 drain_block: int = 8, queue_depth: int = 32,
+                 fused_step: bool = True):
         self.cfg = cfg
+        # ONE device dispatch per scan (db.step_async) — lowest latency for a
+        # live feed; semantics identical to the 4-dispatch path (parity test
+        # test_fused_query.py::test_scan_step_matches_unfused)
+        self.fused_step = fused_step
         self.db = ContourDB(cfg, capacity)
         self.on_loop = on_loop
         self.control_file = control_file
@@ -140,10 +145,13 @@ class OnlineSpinner:
             if pts.ndim != 2 or pts.shape != (cfg.cm.max_points, 4):
                 pts = pad_points(pts, cfg.cm.max_points)
             dev_pts, dev_ts = jax.device_put((pts, np.float32(ts)))
-            desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
-            h = self.db.query_async(desc)
-            self.db.add_scan(desc, seq, dev_ts)
-            self.db.push_and_balance(dev_ts)
+            if self.fused_step:
+                h = self.db.step_async(dev_pts, seq, dev_ts)
+            else:
+                desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
+                h = self.db.query_async(desc)
+                self.db.add_scan(desc, seq, dev_ts)
+                self.db.push_and_balance(dev_ts)
             self._pending.append((seq, h))
             if len(self._pending) >= 2 * self.drain_block:
                 self._drain(self.drain_block)

@@ -53,6 +53,44 @@ def test_online_stream_with_control(tmp_path):
     assert not sp2.feed(np.zeros((10, 3), np.float32), 0, 0.0)
 
 
+def test_reindex_dataset(tmp_path):
+    """MulRan stationary-time reindexing: irregular wall-clock timestamps
+    (a 60 s red-light stop) become uniform i/hz time; the rewritten files
+    round-trip through the evaluator with order and paths preserved."""
+    from synth import se3_from_xyt
+
+    from contour_context_tpu.eval.evaluator import ContLCDEvaluator
+
+    poses = [(5.0 * i, 0.0, 0.0) for i in range(6)]
+    # wall-clock: a 60 s stop between scans 2 and 3
+    tss = [0.0, 0.1, 0.2, 60.3, 60.4, 60.5]
+    pl, ll = [], []
+    for i, (p, ts) in enumerate(zip(poses, tss)):
+        bp = str(tmp_path / ("%06d.bin" % i))
+        np.zeros((8, 4), np.float32).tofile(bp)
+        T = se3_from_xyt(p)
+        pl.append("%.6f %s" % (ts, " ".join(
+            "%.6f" % v for v in T[:3, :4].reshape(-1))))
+        ll.append("%.6f %d %s" % (ts, i, bp))
+    f_pose, f_laser = str(tmp_path / "p.txt"), str(tmp_path / "l.txt")
+    open(f_pose, "w").write("\n".join(pl))
+    open(f_laser, "w").write("\n".join(ll))
+
+    ev = ContLCDEvaluator(f_pose, f_laser, 0.6)
+    f_pose2, f_laser2 = str(tmp_path / "p2.txt"), str(tmp_path / "l2.txt")
+    assert ev.save_reindexed_dataset(f_pose2, f_laser2, hz=10.0) == 6
+
+    ev2 = ContLCDEvaluator(f_pose2, f_laser2, 0.6)
+    assert len(ev2) == 6
+    for i, info in enumerate(ev2.laser_info):
+        assert info.ts == pytest.approx(i / 10.0)   # uniform, stop removed
+        assert info.seq == i
+        assert info.fpath.endswith("%06d.bin" % i)
+        np.testing.assert_allclose(info.sens_pose[:3, :4],
+                                   ev.laser_info[i].sens_pose[:3, :4],
+                                   atol=1e-6)
+
+
 def test_io_small_utils(tmp_path):
     from contour_context_tpu.utils.io import (
         format_mulran_as_kitti,
