@@ -840,15 +840,29 @@ class ContourDB:
         self.n += B
         return BlockHandle(recs, self)
 
-    def localize_block_async(self, points_b) -> Optional["BlockHandle"]:
+    def localize_block_async(self, points_b,
+                             chunk: Optional[int] = None
+                             ) -> Optional["BlockHandle"]:
         """Batched localization against the FROZEN map: B point clouds in,
-        B records out, one dispatch, nothing appended. `points_b` is
-        (B, max_points, 4) f32 (or the int16 q16 wire format). Use after
-        building/loading a map (e.g. ContourDB.load) to serve localization
-        queries at block throughput."""
+        B records out, nothing appended. `points_b` is (B, max_points, 4)
+        f32 (or the int16 q16 wire format). Use after building/loading a map
+        (e.g. ContourDB.load) to serve localization queries at block
+        throughput.
+
+        `chunk` bounds device memory for large B: the batched search holds a
+        (chunk, Q, A, N*A) f32 distance tensor, so pick chunk ~= budget /
+        (Q*A*N*A*4). Chunks dispatch independently (each is one fused
+        dispatch); a non-divisible tail compiles one extra shape."""
         if self.store is None:
             return None
-        recs = _localize_block(self.store, self.state, points_b, self.cfg)
+        B = int(points_b.shape[0])
+        if chunk is None or B <= chunk:
+            recs = _localize_block(self.store, self.state, points_b, self.cfg)
+        else:
+            recs = jnp.concatenate([
+                _localize_block(self.store, self.state, points_b[i:i + chunk],
+                                self.cfg)
+                for i in range(0, B, chunk)])
         return BlockHandle(recs, self)
 
     # -- query ------------------------------------------------------------

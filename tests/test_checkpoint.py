@@ -41,6 +41,29 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(r1[1], r0[1], rtol=1e-4)
     np.testing.assert_allclose(r1[2], r0[2], rtol=1e-4, atol=1e-5)
 
+    # map serving from the checkpoint: batched localization on the restored
+    # DB matches the original, including with a memory-bounding chunk size
+    q_pts = np.stack([
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   cfg.cm.max_points),
+        pad_points(render_scan(world, (20.3, -0.5, -0.1), seed=902),
+                   cfg.cm.max_points),
+        pad_points(render_scan(world, (500.0, 500.0, 0.0), seed=903),
+                   cfg.cm.max_points),
+    ])
+    blk0 = db.localize_block_async(q_pts).get()
+    blk1 = db2.localize_block_async(q_pts).get()
+    blk2 = db2.localize_block_async(q_pts, chunk=2).get()   # 2 + tail(1)
+    for a, b in ((blk0, blk1), (blk1, blk2)):
+        for ra, rb in zip(a, b):
+            if ra is None:
+                assert rb is None
+            else:
+                assert rb is not None and ra[0] == rb[0]
+                np.testing.assert_allclose(ra[1], rb[1], rtol=1e-4)
+                np.testing.assert_allclose(ra[2], rb[2], rtol=1e-4, atol=1e-5)
+    assert blk0[0] is not None and db.seq_of_gidx[blk0[0][0]] == 1
+
     # the restored DB keeps streaming: appends + window updates still work
     pts = render_scan(world, (80.0, 0.0, 0.0), seed=901)
     desc = build_descriptor(pad_points(pts, cfg.cm.max_points), cfg.cm, cfg.gmm)
