@@ -510,14 +510,20 @@ class QueryHandle:
 
 
 class BlockHandle:
-    """Deferred results of a processed block: (B, RECORD_WIDTH) on device."""
+    """Deferred results of a processed block: (B, RECORD_WIDTH) on device.
 
-    __slots__ = ("recs", "_db", "_host")
+    `accumulate=False` (map-serving queries) keeps the records out of the
+    DB's streaming counters so serving traffic cannot skew the stream's
+    overflow/cascade diagnostics."""
 
-    def __init__(self, recs: jnp.ndarray, db: "ContourDB"):
+    __slots__ = ("recs", "_db", "_host", "_accumulate")
+
+    def __init__(self, recs: jnp.ndarray, db: "ContourDB",
+                 accumulate: bool = True):
         self.recs = recs
         self._db = db
         self._host = None
+        self._accumulate = accumulate
 
     def get(self) -> list:
         """Fetch the block's results: one host copy, list of per-scan
@@ -527,7 +533,8 @@ class BlockHandle:
             out = []
             for row in mat:
                 rec = _unpack_record(row)
-                self._db._accumulate_counters(rec)
+                if self._accumulate:
+                    self._db._accumulate_counters(rec)
                 out.append((rec.gidx, rec.corr, rec.T) if rec.found else None)
             self._host = out
         return self._host
@@ -863,7 +870,7 @@ class ContourDB:
                 _localize_block(self.store, self.state, points_b[i:i + chunk],
                                 self.cfg)
                 for i in range(0, B, chunk)])
-        return BlockHandle(recs, self)
+        return BlockHandle(recs, self, accumulate=False)
 
     # -- query ------------------------------------------------------------
 

@@ -143,10 +143,12 @@ class ContLCDEvaluator:
         after reindexing the window is a fixed frame gap. Returns the scan
         count; feed the two new files back as fpath_sens_gt_pose /
         fpath_lidar_bins."""
+        # %.6f (not the reference dump's %.2f) so high-rate reindexing never
+        # collides adjacent timestamps under the 10 ms association tolerance
         with open(sav_laser, "w") as f4, open(sav_pose, "w") as f5:
             for i, info in enumerate(self.laser_info):
-                f4.write("%.2f %d %s\n" % (i / hz, i, info.fpath))
-                f5.write("%.2f %s\n" % (i / hz, " ".join(
+                f4.write("%.6f %d %s\n" % (i / hz, i, info.fpath))
+                f5.write("%.6f %s\n" % (i / hz, " ".join(
                     "%.6f" % info.sens_pose[j // 4, j % 4] for j in range(12))))
         return len(self.laser_info)
 
