@@ -143,6 +143,31 @@ def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int):
     return _search_impl(db_keys, q_keys, searchable_n, q_levels, nnk)
 
 
+def _select_hints(valid_f, dist_f, HC: int):
+    """Pick the hints fed to the check cascade (cap = max_check_cands).
+
+    The reference processes every hit sequentially (contour_db.h:764-771);
+    the fused step pads to a fixed hint count HC. When the valid hits fit
+    (n_valid <= HC) the selection is ALL of them in (q_level, anchor,
+    ranked-hit) order — the reference's sequential processing order, which the
+    host-replica parity tests pin. When they overflow the cap (dense
+    self-similar maps), keep the HC nearest-by-key-distance hits instead of
+    the positional head — dropping the far tail loses strictly less recall
+    than dropping whole levels/anchors. Order among the kept hints stays
+    positional either way. Returns (perm, hint_valid, n_valid, overflow)."""
+    Hfull = valid_f.shape[0]
+    # rank of each valid hint by ascending distance (stable -> deterministic
+    # tie-break by position)
+    order = jnp.argsort(jnp.where(valid_f, dist_f, jnp.inf), stable=True)
+    rank = jnp.zeros(Hfull, jnp.int32).at[order].set(
+        jnp.arange(Hfull, dtype=jnp.int32))
+    sel = valid_f & (rank < HC)
+    perm = jnp.argsort(~sel, stable=True)[:HC]
+    n_valid = jnp.sum(valid_f).astype(jnp.int32)
+    overflow = jnp.maximum(0, n_valid - HC).astype(jnp.int32)
+    return perm, sel[perm], n_valid, overflow
+
+
 def _tab_from(desc_like, gidx=None):
     """Build the (…, 4, J, ·) check-3 stats table from ScanDesc(-like) arrays.
 
@@ -310,13 +335,9 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     seq_src_f = seq_src.reshape(-1)
     valid_f = valid.reshape(-1)
 
-    # stable compaction: first max_check_cands valid hits in (q_level, anchor,
-    # ranked-hit) order — the reference's sequential processing order.
     HC = min(cfg.db.max_check_cands, Hfull)
-    perm = jnp.argsort(~valid_f, stable=True)[:HC]
-    hv = valid_f[perm]
-    n_valid = jnp.sum(valid_f).astype(jnp.int32)
-    overflow_hints = jnp.maximum(0, n_valid - HC)
+    perm, hv, n_valid, overflow_hints = _select_hints(
+        valid_f, dist.reshape(-1), HC)
 
     res = _gather_and_cascade_impl(
         store, query, gidx_f[perm], level_f[perm], seq_src_f[perm],

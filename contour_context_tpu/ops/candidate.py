@@ -85,9 +85,17 @@ def merge_proposals(pass3, gidx, T_delta, pair_valid, pair_level,
         pair_valid, pair_level, pair_seq_src, pair_seq_tgt, pair_perc)
     votes_h = jnp.sum(pair_valid, axis=1).astype(jnp.int32)
 
-    # stable compaction of passing hints
-    perm = jnp.argsort(~pass3, stable=True)[:MP]
+    # Stable compaction of passing hints. When they fit the merge budget MP
+    # this selects ALL of them in input order (reference parity); when they
+    # overflow it (dense self-similar maps) keep the MP strongest hints by
+    # constellation vote count — a hint's pair count is the proposal weight,
+    # so dropping the weakest tail loses the least evidence. Order among the
+    # kept hints stays positional either way.
     n_pass = jnp.sum(pass3).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(pass3, -votes_h, 1), stable=True)
+    rank = jnp.zeros(H, jnp.int32).at[order].set(jnp.arange(H, dtype=jnp.int32))
+    sel_h = pass3 & (rank < MP)
+    perm = jnp.argsort(~sel_h, stable=True)[:MP]
     overflow_pass = jnp.maximum(0, n_pass - MP)
 
     g = gidx[perm].astype(jnp.int32)

@@ -129,3 +129,71 @@ def test_sharded_query_matches_single():
     np.testing.assert_allclose(r8.corr, r1.corr, rtol=1e-4)
     np.testing.assert_allclose(r8.T, r1.T, rtol=1e-4, atol=1e-5)
     assert (r8.n_hints, r8.aft1, r8.aft3) == (r1.n_hints, r1.aft1, r1.aft3)
+
+
+def test_select_hints_overflow_prioritizes_nearest():
+    """Hint-cap selection: exact positional parity under the cap; nearest-by-
+    key-distance survivors (still in positional order) under overflow."""
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import _select_hints
+
+    rng = np.random.default_rng(0)
+    H = 40
+    valid = rng.random(H) < 0.6
+    dist = rng.random(H).astype(np.float32)
+    n_valid = int(valid.sum())
+
+    # under / at the cap: selection == positional compaction of ALL valid hits
+    for HC in (n_valid, H):
+        perm, hv, nv, ovf = _select_hints(
+            jnp.asarray(valid), jnp.asarray(dist), HC)
+        perm, hv = np.asarray(perm), np.asarray(hv)
+        assert (int(nv), int(ovf)) == (n_valid, 0)
+        np.testing.assert_array_equal(perm[hv], np.flatnonzero(valid))
+
+    # overflow: the HC nearest valid hits survive, in positional order
+    HC2 = n_valid // 2
+    perm2, hv2, nv2, ovf2 = _select_hints(
+        jnp.asarray(valid), jnp.asarray(dist), HC2)
+    perm2, hv2 = np.asarray(perm2), np.asarray(hv2)
+    assert int(ovf2) == n_valid - HC2 and int(hv2.sum()) == HC2
+    vi = np.flatnonzero(valid)
+    expect = vi[np.argsort(dist[valid], kind="stable")][:HC2]
+    kept = perm2[hv2]
+    assert set(kept.tolist()) == set(expect.tolist())
+    assert np.all(np.diff(kept) > 0)
+
+
+def test_merge_budget_overflow_prioritizes_votes():
+    """merge_proposals under merge-budget overflow keeps the strongest
+    passing hints (by constellation vote count), in positional order."""
+    import jax.numpy as jnp
+
+    from contour_context_tpu.ops.candidate import merge_proposals
+
+    H, P = 8, 8
+    pass3 = jnp.ones(H, bool)
+    gidx = jnp.arange(H, dtype=jnp.int32)          # distinct candidate rows
+    T = jnp.stack([jnp.arange(H, dtype=jnp.float32) * 10.0,
+                   jnp.zeros(H), jnp.zeros(H)], axis=1)
+    # hint i carries i+1 valid pairs -> votes ascend with i
+    pair_valid = jnp.arange(P)[None, :] < (jnp.arange(H)[:, None] + 1)
+    pair_level = jnp.full((H, P), 1, jnp.int32)
+    pair_seq = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (H, P))
+    pair_perc = jnp.full((H, P), 0.05, jnp.float32)
+
+    st = merge_proposals(pass3, gidx, T, pair_valid, pair_level,
+                         pair_seq, pair_seq, pair_perc,
+                         n_cand_max=8, n_pass_max=4)
+    assert int(st.overflow_pass) == 4
+    # hints 4..7 (most votes) survive, merged in positional order
+    np.testing.assert_array_equal(np.asarray(st.cand_gidx[:4]), [4, 5, 6, 7])
+    assert int(st.n_cand) == 4
+
+    # no overflow: all hints survive in positional order
+    st2 = merge_proposals(pass3, gidx, T, pair_valid, pair_level,
+                          pair_seq, pair_seq, pair_perc,
+                          n_cand_max=8, n_pass_max=8)
+    assert int(st2.overflow_pass) == 0
+    np.testing.assert_array_equal(np.asarray(st2.cand_gidx), np.arange(8))
