@@ -111,6 +111,16 @@ def run_cascade(
 ) -> CascadeResult:
     H, M = src_nei["bit"].shape
 
+    # neighbor tables arrive in HBM-compact dtypes (int8 level/seq, int16
+    # bit); widen before any arithmetic (level*100+seq*10 overflows int8)
+    def _widen(nei):
+        return dict(nei, level=jnp.asarray(nei["level"], jnp.int32),
+                    seq=jnp.asarray(nei["seq"], jnp.int32),
+                    bit=jnp.asarray(nei["bit"], jnp.int32))
+
+    src_nei = _widen(src_nei)
+    tgt_nei = _widen(tgt_nei)
+
     # ---- check 1: anchor similarity -------------------------------------
     pass1 = hint_valid & check_sim_batched(
         src_anchor["cnt"], src_anchor["eig"], src_anchor["h"], src_anchor["comr"],

@@ -403,9 +403,13 @@ def make_bcis(tab: dict, anch_valid: jnp.ndarray, cfg: ContourManagerConfig):
     sort_key = jnp.where(valid, bit * M + slot, jnp.int32(1 << 20))
     order = jnp.argsort(sort_key, axis=-1)
     take = lambda x: jnp.take_along_axis(x, order, axis=-1)
+    # HBM-compact storage dtypes (values: level 0..5, seq 0..9, bit 0..256);
+    # run_cascade widens them back to int32 at entry before any arithmetic
     return dict(
-        nei_valid=take(valid), nei_level=take(nei_level), nei_seq=take(nei_seq),
-        nei_bit=jnp.where(take(valid), take(bit), 256),
+        nei_valid=take(valid),
+        nei_level=take(nei_level).astype(jnp.int8),
+        nei_seq=take(nei_seq).astype(jnp.int8),
+        nei_bit=jnp.where(take(valid), take(bit), 256).astype(jnp.int16),
         nei_theta=take(theta).astype(jnp.float32),
     )
 
@@ -466,7 +470,7 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
     bci = make_bcis(tab, anch_valid, cfg)
     gmm_mask, auto_corr = gmm_summary(tab, gmm_cfg)
     return ScanDesc(
-        cnt=tab["cnt"], valid=tab["valid"], mean=tab["mean"],
+        cnt=tab["cnt"].astype(jnp.int16), valid=tab["valid"], mean=tab["mean"],
         eig_vals=tab["eig_vals"], eig_vecs=tab["eig_vecs"],
         manual_cov=tab["manual_cov"], vol3_mean=tab["vol3_mean"],
         com_r=tab["com_r"], ecc_feat=tab["ecc_feat"], cont_perc=tab["cont_perc"],

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 class ScanDesc(NamedTuple):
     """One scan's full descriptor: contour table + keys + BCIs + GMM summary."""
     # contour table, sorted per level by (cell count desc, min pixel asc)
-    cnt: jnp.ndarray          # (L, K) int32   cell count (0 when slot invalid)
+    cnt: jnp.ndarray          # (L, K) int16   cell count (0 when slot invalid;
+    #                           max 150*150 cells fits; consumers cast to f32)
     valid: jnp.ndarray        # (L, K) bool
     mean: jnp.ndarray         # (L, K, 2) f32  continuous (row, col)
     eig_vals: jnp.ndarray     # (L, K, 2) f32  ascending, clamped at point_sigma
@@ -32,11 +33,13 @@ class ScanDesc(NamedTuple):
     n_cont: jnp.ndarray       # (L,) int32     number of valid contours
     # retrieval keys (contour_mng.h:689-895)
     keys: jnp.ndarray         # (L, A, 10) f32 zero when anchor invalid
-    # BCI neighbor constellation, sorted by (bit, generation order)
+    # BCI neighbor constellation, sorted by (bit, generation order).
+    # HBM-compact dtypes (the store holds every scan ever added, so neighbor
+    # tables dominate its footprint); run_cascade widens to int32 at entry.
     nei_valid: jnp.ndarray    # (L, A, M) bool
-    nei_level: jnp.ndarray    # (L, A, M) int32
-    nei_seq: jnp.ndarray      # (L, A, M) int32
-    nei_bit: jnp.ndarray      # (L, A, M) int32 (0..255; 256 when invalid)
+    nei_level: jnp.ndarray    # (L, A, M) int8
+    nei_seq: jnp.ndarray      # (L, A, M) int8
+    nei_bit: jnp.ndarray      # (L, A, M) int16 (0..255; 256 when invalid)
     nei_theta: jnp.ndarray    # (L, A, M) f32
     # GMM summary over the correlation levels (correlation.h:49-122)
     gmm_mask: jnp.ndarray     # (L, K) bool    95%-area prefix per level
