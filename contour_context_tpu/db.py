@@ -99,13 +99,12 @@ def _update_window(state, ts_store, curr_ts, min_elapse: float,
     return _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse)
 
 
-def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
-                 nnk: int):
-    """db_keys (N, L, A, 10); q_keys (L, A, 10) -> hits per (q_level, seq).
+def _key_distances(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...]):
+    """Masked squared key distances, (Q, A, N*A), invalid rows at MAX_DIST_SQ.
 
-    Returns (gidx, seq_src, dist, valid) each (Q, A, nnk), hits sorted by
-    ascending distance, bounded by the per-key adaptive distance upper bound
-    (contour_db.h:733-749) and by searchability.
+    MXU-shaped: |q|^2 + |r|^2 - 2 q.r^T — the cross term is a batched matmul,
+    which is how this scales to 100k+ rows on TPU. Masks: zero (invalid) keys
+    on either side, and the temporal-window searchability prefix.
     """
     N, L, A, D = db_keys.shape
     lv = jnp.array(q_levels, jnp.int32)
@@ -116,19 +115,29 @@ def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
     searchable = scan_of_row < searchable_n
     q_valid = jnp.abs(q).sum(-1) > 0                        # (Q, A)
 
-    # MXU-shaped distance: |q|^2 + |r|^2 - 2 q.r^T (the cross term is a
-    # batched matmul, which is how this scales to 100k+ rows on TPU)
     cross = jnp.einsum("qad,qnd->qan", q, rows,
                        precision=jax.lax.Precision.HIGHEST)
     d2 = (jnp.sum(q * q, axis=-1)[:, :, None]
           + jnp.sum(rows * rows, axis=-1)[:, None, :] - 2.0 * cross)
     d2 = jnp.maximum(d2, 0.0)
+    ok = row_valid[:, None, :] & searchable[:, None, :] & q_valid[..., None]
+    return jnp.where(ok, d2, MAX_DIST_SQ), q
+
+
+def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
+                 nnk: int):
+    """db_keys (N, L, A, 10); q_keys (L, A, 10) -> hits per (q_level, seq).
+
+    Returns (gidx, seq_src, dist, valid) each (Q, A, nnk), hits sorted by
+    ascending distance, bounded by the per-key adaptive distance upper bound
+    (contour_db.h:733-749) and by searchability.
+    """
+    N, L, A, D = db_keys.shape
+    d2m, q = _key_distances(db_keys, q_keys, searchable_n, q_levels)
     k0, k1, k2 = q[..., 0], q[..., 1], q[..., 2]
     ub = (jnp.maximum((k0 - k0 * 0.8) ** 2, (k0 - k0 / 0.8) ** 2)
           + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
           + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))
-    ok = row_valid[:, None, :] & searchable[:, None, :] & q_valid[..., None]
-    d2m = jnp.where(ok, d2, MAX_DIST_SQ)
     nnk = min(nnk, N * A)   # tiny DBs have fewer rows than the k bound
     neg, idx = jax.lax.top_k(-d2m, nnk)                     # ascending distance
     dist = -neg
@@ -141,6 +150,41 @@ def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
 @functools.partial(jax.jit, static_argnames=("q_levels", "nnk"))
 def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int):
     return _search_impl(db_keys, q_keys, searchable_n, q_levels, nnk)
+
+
+@functools.partial(jax.jit, static_argnames=("q_levels", "cap"))
+def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
+                  q_levels: Tuple[int, ...], cap: int):
+    """layerRangeSearch analog (contour_db.h:204-216, contour_db.cpp:405-424):
+    every searchable key within max_dist_sq of any query (q_level, anchor)
+    key, ascending distance, capped at `cap` rows.
+
+    Returns ONE packed (cap+1, 5) f32 buffer (single host fetch): row 0 col 0
+    is the total in-range count (may exceed cap); rows 1.. are
+    (gidx, level, seq_src, seq_tgt, dist_sq), dist_sq == -1 when unused.
+    """
+    d2m, _ = _key_distances(db_keys, q_keys, searchable_n, q_levels)
+    Q, A, R = d2m.shape
+    n_rows_per_level = db_keys.shape[2]            # A of the store layout
+    flat = d2m.reshape(-1)
+    inr = flat < max_dist_sq
+    n_total = jnp.sum(inr).astype(jnp.float32)
+    order = jnp.argsort(jnp.where(inr, flat, jnp.inf), stable=True)[:cap]
+    sel_valid = jnp.take(inr, order)
+    lv = jnp.array(q_levels, jnp.float32)
+    qi = order // (A * R)
+    rem = order % (A * R)
+    ai = rem // R
+    ri = rem % R
+    hits = jnp.stack([
+        (ri // n_rows_per_level).astype(jnp.float32),   # gidx
+        lv[qi],                                         # level
+        (ri % n_rows_per_level).astype(jnp.float32),    # seq_src
+        ai.astype(jnp.float32),                         # seq_tgt
+        jnp.take(flat, order)], axis=1)
+    hits = jnp.where(sel_valid[:, None], hits, -1.0)
+    head = jnp.zeros((1, 5), jnp.float32).at[0, 0].set(n_total)
+    return jnp.concatenate([head, hits], axis=0)
 
 
 def _select_hints(valid_f, dist_f, HC: int):
@@ -914,6 +958,28 @@ class ContourDB:
             jax.block_until_ready(h.rec if h else None)
             profiler.record("query (fused)")
         return h.get() if h is not None else None
+
+    def range_search(self, query: ScanDesc, max_dist_sq: float,
+                     cap: int = 256):
+        """layerRangeSearch analog (contour_db.h:204-216): all searchable
+        keys within `max_dist_sq` of any of the query's (q_level, anchor)
+        keys, sorted by ascending distance.
+
+        Returns (hits, n_in_range): hits is a list of
+        (gidx, level, seq_src, seq_tgt, dist_sq) tuples; n_in_range counts
+        every in-range key and may exceed len(hits) when the fixed device cap
+        truncates the result."""
+        if self.store is None:
+            return [], 0
+        # state[1] is the device-resident searchable prefix: pass it directly
+        # (one fetch total; an empty window just returns zero hits)
+        packed = np.asarray(jax.device_get(_range_search(
+            self.store.keys, query.keys, self.state[1],
+            jnp.float32(max_dist_sq), tuple(self.cfg.db.q_levels), int(cap))))
+        n_total = int(packed[0, 0])
+        hits = [(int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
+                for r in packed[1:] if r[4] >= 0.0]
+        return hits, n_total
 
     # -- host reference path (spec replica, used by parity tests) ----------
 

@@ -197,3 +197,52 @@ def test_merge_budget_overflow_prioritizes_votes():
                           n_cand_max=8, n_pass_max=8)
     assert int(st2.overflow_pass) == 0
     np.testing.assert_array_equal(np.asarray(st2.cand_gidx), np.arange(8))
+
+
+@pytest.mark.slow
+def test_range_search_vs_numpy_oracle():
+    """range_search (layerRangeSearch analog, contour_db.h:204-216) returns
+    exactly the searchable keys within the radius, ascending distance."""
+    world, descs = _descs(6)
+    db = ContourDB(CFG, capacity=8)
+    for i, d in enumerate(descs):
+        db.add_scan(d, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+    assert db.searchable_n > 0
+
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   CFG.cm.max_points), CFG.cm, CFG.gmm)
+    r2 = 16.0
+    hits, n_total = db.range_search(q, r2)
+    assert n_total > 0        # vacuous otherwise
+
+    # numpy oracle over the same key matrix + temporal mask
+    keys = np.asarray(db.store.keys)            # (N, L, A, 10)
+    qk = np.asarray(q.keys)                     # (L, A, 10)
+    expect = set()
+    for lev in CFG.db.q_levels:
+        for a in range(qk.shape[1]):
+            if np.abs(qk[lev, a]).sum() == 0:
+                continue
+            for g in range(db.searchable_n):
+                for s in range(keys.shape[2]):
+                    row = keys[g, lev, s]
+                    if np.abs(row).sum() == 0:
+                        continue
+                    d2 = float(((row - qk[lev, a]) ** 2).sum())
+                    if d2 < r2:
+                        expect.add((g, lev, s, a))
+    got = {(h[0], h[1], h[2], h[3]) for h in hits}
+    assert n_total == len(expect)
+    assert got == expect
+    dists = [h[4] for h in hits]
+    assert dists == sorted(dists)
+    for g, lev, s, a, d2 in hits:
+        ref = float(((keys[g, lev, s] - qk[lev, a]) ** 2).sum())
+        # |q|^2+|r|^2-2qr in f32 cancels vs the oracle's direct diff^2
+        np.testing.assert_allclose(d2, ref, rtol=2e-3, atol=2e-3)
+
+    # cap truncation still reports the full in-range count
+    hits2, n2 = db.range_search(q, r2, cap=2)
+    assert n2 == n_total and len(hits2) == min(2, n_total)

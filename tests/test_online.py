@@ -119,3 +119,41 @@ def test_io_small_utils(tmp_path):
     vals = [float(x) for x in open(outf)]
     assert len(vals) == 2
     assert 0.05 < vals[1] - vals[0] < 0.2
+
+
+def test_read_oxts_poses(tmp_path):
+    """KITTI-raw OXTS reader (io_bin.h:28-148 parity): mercator projection,
+    zyx Euler, first-frame rebase, imu->velo extrinsic composition."""
+    import math
+
+    from contour_context_tpu.utils.io import read_oxts_poses
+
+    date, seq = "2011_01_01", "2011_01_01_drive_0001_sync"
+    droot = tmp_path / date
+    (droot / seq / "oxts" / "data").mkdir(parents=True)
+    # identity imu->velo plus a translation, to exercise the composition
+    (droot / "calib_imu_to_velo.txt").write_text(
+        "R: 1 0 0 0 1 0 0 0 1\nT: 0.5 0 -0.2\n")
+    lat0, lon0 = 48.98, 8.39
+    frames = [(lat0, lon0, 110.0, 0.0, 0.0, 0.0),
+              (lat0, lon0 + 1e-5, 110.5, 0.0, 0.0, math.pi / 2)]
+    for i, f in enumerate(frames):
+        # 30 columns in real OXTS; only the first 6 are read
+        vals = list(f) + [0.0] * 24
+        (droot / seq / "oxts" / "data" / ("%010d.txt" % i)).write_text(
+            " ".join("%.9f" % v for v in vals))
+
+    poses = read_oxts_poses(str(tmp_path), date, seq)
+    assert len(poses) == 2
+    # frame 0: R = I, trans rebased to zero => T_w_velod = inv(T_imu_velod)
+    np.testing.assert_allclose(poses[0][:3, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(poses[0][:3, 3], [-0.5, 0.0, 0.2], atol=1e-12)
+    # frame 1: yaw 90deg; mercator x advance = scale * dlon * pi * er / 180
+    er, scale = 6378137.0, math.cos(lat0 * math.pi / 180.0)
+    dx = scale * 1e-5 * math.pi * er / 180.0
+    R1 = poses[1][:3, :3]
+    np.testing.assert_allclose(
+        R1, [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-9)
+    # T_w_velod = T_w_imu @ inv(T_imu_velod): t = t_imu - R1 @ t_iv
+    expect_t = np.array([dx, 0.0, 0.5]) - R1 @ np.array([0.5, 0.0, -0.2])
+    np.testing.assert_allclose(poses[1][:3, 3], expect_t, atol=1e-9)
