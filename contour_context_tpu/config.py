@@ -86,6 +86,12 @@ class ContourManagerConfig:
                              "pair-slot layout (see ops/candidate.N_SEQ)")
         if self.piv_firsts > 10:
             raise ValueError("piv_firsts > 10 exceeds the pair-slot layout")
+        # ScanDesc.cnt is stored int16: a single connected component is
+        # bounded by the grid cell count, which must fit
+        if self.n_row * self.n_col > 32767:
+            raise ValueError(
+                "n_row * n_col > 32767 overflows the int16 cell counts of "
+                "the archived store (types.ScanDesc.cnt)")
 
     @property
     def n_levels(self) -> int:

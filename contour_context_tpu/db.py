@@ -47,6 +47,7 @@ from contour_context_tpu.ops.candidate import (
     dynamic_pass_scan,
     dynamic_post_scan,
     merge_proposals,
+    select_topk_stable,
     tidy_candidates,
 )
 from contour_context_tpu.ops.gmm import (
@@ -159,16 +160,18 @@ def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
     every searchable key within max_dist_sq of any query (q_level, anchor)
     key, ascending distance, capped at `cap` rows.
 
-    Returns ONE packed (cap+1, 5) f32 buffer (single host fetch): row 0 col 0
-    is the total in-range count (may exceed cap); rows 1.. are
-    (gidx, level, seq_src, seq_tgt, dist_sq), dist_sq == -1 when unused.
+    Returns ONE packed (cap+1, 5) f32 buffer (single host fetch): row 0
+    cols 0-1 hold the total in-range count split as (count // 2^20,
+    count % 2^20) so it stays exact beyond f32's 2^24 integer range on
+    city-scale maps; rows 1.. are (gidx, level, seq_src, seq_tgt, dist_sq),
+    dist_sq == -1 when unused.
     """
     d2m, _ = _key_distances(db_keys, q_keys, searchable_n, q_levels)
     Q, A, R = d2m.shape
     n_rows_per_level = db_keys.shape[2]            # A of the store layout
     flat = d2m.reshape(-1)
     inr = flat < max_dist_sq
-    n_total = jnp.sum(inr).astype(jnp.float32)
+    n_total = jnp.sum(inr).astype(jnp.int32)
     order = jnp.argsort(jnp.where(inr, flat, jnp.inf), stable=True)[:cap]
     sel_valid = jnp.take(inr, order)
     lv = jnp.array(q_levels, jnp.float32)
@@ -183,7 +186,9 @@ def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
         ai.astype(jnp.float32),                         # seq_tgt
         jnp.take(flat, order)], axis=1)
     hits = jnp.where(sel_valid[:, None], hits, -1.0)
-    head = jnp.zeros((1, 5), jnp.float32).at[0, 0].set(n_total)
+    head = jnp.zeros((1, 5), jnp.float32)
+    head = head.at[0, 0].set((n_total // (1 << 20)).astype(jnp.float32))
+    head = head.at[0, 1].set((n_total % (1 << 20)).astype(jnp.float32))
     return jnp.concatenate([head, hits], axis=0)
 
 
@@ -191,25 +196,12 @@ def _select_hints(valid_f, dist_f, HC: int):
     """Pick the hints fed to the check cascade (cap = max_check_cands).
 
     The reference processes every hit sequentially (contour_db.h:764-771);
-    the fused step pads to a fixed hint count HC. When the valid hits fit
-    (n_valid <= HC) the selection is ALL of them in (q_level, anchor,
-    ranked-hit) order — the reference's sequential processing order, which the
-    host-replica parity tests pin. When they overflow the cap (dense
-    self-similar maps), keep the HC nearest-by-key-distance hits instead of
+    the fused step pads to a fixed hint count HC. Under overflow (dense
+    self-similar maps) keep the HC nearest-by-key-distance hits instead of
     the positional head — dropping the far tail loses strictly less recall
-    than dropping whole levels/anchors. Order among the kept hints stays
-    positional either way. Returns (perm, hint_valid, n_valid, overflow)."""
-    Hfull = valid_f.shape[0]
-    # rank of each valid hint by ascending distance (stable -> deterministic
-    # tie-break by position)
-    order = jnp.argsort(jnp.where(valid_f, dist_f, jnp.inf), stable=True)
-    rank = jnp.zeros(Hfull, jnp.int32).at[order].set(
-        jnp.arange(Hfull, dtype=jnp.int32))
-    sel = valid_f & (rank < HC)
-    perm = jnp.argsort(~sel, stable=True)[:HC]
-    n_valid = jnp.sum(valid_f).astype(jnp.int32)
-    overflow = jnp.maximum(0, n_valid - HC).astype(jnp.int32)
-    return perm, sel[perm], n_valid, overflow
+    than dropping whole levels/anchors; see select_topk_stable for the
+    under-cap reference-order parity guarantee."""
+    return select_topk_stable(dist_f, valid_f, HC)
 
 
 def _tab_from(desc_like, gidx=None):
@@ -577,18 +569,18 @@ class QueryHandle:
 class BlockHandle:
     """Deferred results of a processed block: (B, RECORD_WIDTH) on device.
 
-    `accumulate=False` (map-serving queries) keeps the records out of the
-    DB's streaming counters so serving traffic cannot skew the stream's
-    overflow/cascade diagnostics."""
+    `counters="serving"` (map-serving queries) routes the records into the
+    DB's separate `serving_counters` so serving traffic cannot skew the
+    stream's overflow/cascade diagnostics yet stays diagnosable itself."""
 
-    __slots__ = ("recs", "_db", "_host", "_accumulate")
+    __slots__ = ("recs", "_db", "_host", "_counters")
 
     def __init__(self, recs: jnp.ndarray, db: "ContourDB",
-                 accumulate: bool = True):
+                 counters: str = "counters"):
         self.recs = recs
         self._db = db
         self._host = None
-        self._accumulate = accumulate
+        self._counters = counters
 
     def get(self) -> list:
         """Fetch the block's results: one host copy, list of per-scan
@@ -598,8 +590,7 @@ class BlockHandle:
             out = []
             for row in mat:
                 rec = _unpack_record(row)
-                if self._accumulate:
-                    self._db._accumulate_counters(rec)
+                self._db._accumulate_counters(rec, self._counters)
                 out.append((rec.gidx, rec.corr, rec.T) if rec.found else None)
             self._host = out
         return self._host
@@ -739,20 +730,28 @@ class ContourDB:
         self.seq_of_gidx: List[int] = []
         self.max_fine = cfg.db.max_fine_opt
         self.gmm_pad = 32
-        # check-cascade survivor counters (contour_db.h:356-359)
-        self.counters = dict(n_hints=0, cand_aft_check1=0, cand_aft_check2=0,
-                             cand_aft_check3=0, overflow_hints=0,
-                             overflow_pass=0, overflow_cand=0, overflow_pot=0)
+        # check-cascade survivor counters (contour_db.h:356-359); map-serving
+        # queries (localize_block_async) accumulate into the separate set so
+        # neither traffic class hides the other's cap saturation
+        self.counters = self._zero_counters()
+        self.serving_counters = self._zero_counters()
 
-    def _accumulate_counters(self, rec) -> None:
-        self.counters["n_hints"] += int(rec.n_hints)
-        self.counters["cand_aft_check1"] += int(rec.aft1)
-        self.counters["cand_aft_check2"] += int(rec.aft2)
-        self.counters["cand_aft_check3"] += int(rec.aft3)
-        self.counters["overflow_hints"] += int(rec.overflow_hints)
-        self.counters["overflow_pass"] += int(rec.overflow_pass)
-        self.counters["overflow_cand"] += int(rec.overflow_cand)
-        self.counters["overflow_pot"] += int(rec.overflow_pot)
+    @staticmethod
+    def _zero_counters() -> dict:
+        return dict(n_hints=0, cand_aft_check1=0, cand_aft_check2=0,
+                    cand_aft_check3=0, overflow_hints=0,
+                    overflow_pass=0, overflow_cand=0, overflow_pot=0)
+
+    def _accumulate_counters(self, rec, which: str = "counters") -> None:
+        c = getattr(self, which)
+        c["n_hints"] += int(rec.n_hints)
+        c["cand_aft_check1"] += int(rec.aft1)
+        c["cand_aft_check2"] += int(rec.aft2)
+        c["cand_aft_check3"] += int(rec.aft3)
+        c["overflow_hints"] += int(rec.overflow_hints)
+        c["overflow_pass"] += int(rec.overflow_pass)
+        c["overflow_cand"] += int(rec.overflow_cand)
+        c["overflow_pot"] += int(rec.overflow_pot)
 
     # -- maintenance ------------------------------------------------------
 
@@ -877,9 +876,18 @@ class ContourDB:
         leaves = [z[f"store_{i}"] for i in range(len(ScanDesc._fields))]
         treedef = jax.tree.structure(ScanDesc(*ScanDesc._fields))
         host_store = jax.tree.unflatten(treedef, leaves)
+        # migrate checkpoints written before the HBM-compact dtypes: the
+        # store must match what build_descriptor emits today or the first
+        # append after resume fails on a dtype mismatch
+        from contour_context_tpu.ops.descriptor import build_descriptor
+
+        current = jax.eval_shape(
+            lambda p: build_descriptor(p, cfg.cm, cfg.gmm),
+            jax.ShapeDtypeStruct((cfg.cm.max_points, 4), jnp.float32))
         db.store = jax.tree.map(
-            lambda a: jnp.zeros((cap,) + a.shape[1:], a.dtype).at[:n].set(a),
-            host_store)
+            lambda a, cur: jnp.zeros((cap,) + a.shape[1:], cur.dtype)
+            .at[:n].set(a.astype(cur.dtype)),
+            host_store, current)
         db.ts_store = jnp.zeros((cap,), jnp.float32).at[:n].set(z["ts_store"])
         db.state = jnp.asarray(z["state"], jnp.int32)
         db.n = n
@@ -935,7 +943,7 @@ class ContourDB:
                 _localize_block(self.store, self.state, points_b[i:i + chunk],
                                 self.cfg)
                 for i in range(0, B, chunk)])
-        return BlockHandle(recs, self, accumulate=False)
+        return BlockHandle(recs, self, counters="serving_counters")
 
     # -- query ------------------------------------------------------------
 
@@ -968,15 +976,18 @@ class ContourDB:
         Returns (hits, n_in_range): hits is a list of
         (gidx, level, seq_src, seq_tgt, dist_sq) tuples; n_in_range counts
         every in-range key and may exceed len(hits) when the fixed device cap
-        truncates the result."""
+        truncates the result. Radii are capped at MAX_DIST_SQ (1e6,
+        contour_db.h:30), the sentinel that marks invalid/unsearchable rows
+        — true key distances beyond it are unreachable by design."""
         if self.store is None:
             return [], 0
+        max_dist_sq = min(float(max_dist_sq), MAX_DIST_SQ)
         # state[1] is the device-resident searchable prefix: pass it directly
         # (one fetch total; an empty window just returns zero hits)
         packed = np.asarray(jax.device_get(_range_search(
             self.store.keys, query.keys, self.state[1],
             jnp.float32(max_dist_sq), tuple(self.cfg.db.q_levels), int(cap))))
-        n_total = int(packed[0, 0])
+        n_total = (int(packed[0, 0]) << 20) + int(packed[0, 1])
         hits = [(int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
                 for r in packed[1:] if r[4] >= 0.0]
         return hits, n_total

@@ -51,6 +51,25 @@ def _clamp_ang(a):
     return a - jnp.floor((a + math.pi) / (2 * math.pi)) * (2 * math.pi)
 
 
+def select_topk_stable(priority, mask, cap: int):
+    """Budget-capped stable selection (shared by the hint cap and the merge
+    budget). When the masked items fit `cap` this selects ALL of them in
+    input order — the reference's sequential processing order, which the
+    host-replica parity tests pin. When they overflow, it keeps the `cap`
+    best by ascending `priority` (stable tie-break by position), still in
+    input order among the kept. Returns (perm, sel_at_perm, n_masked,
+    overflow): index `x[perm]` and mask with `sel_at_perm`."""
+    n = mask.shape[0]
+    order = jnp.argsort(jnp.where(mask, priority, jnp.inf), stable=True)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    sel = mask & (rank < cap)
+    perm = jnp.argsort(~sel, stable=True)[:cap]
+    n_masked = jnp.sum(mask).astype(jnp.int32)
+    overflow = jnp.maximum(0, n_masked - cap).astype(jnp.int32)
+    return perm, sel[perm], n_masked, overflow
+
+
 def dense_pair_maps(pair_valid, pair_level, pair_seq_src, pair_seq_tgt,
                     pair_perc):
     """(H, P) ragged pair lists -> dense (H, NUM_SLOTS) perc/taken maps."""
@@ -85,18 +104,12 @@ def merge_proposals(pass3, gidx, T_delta, pair_valid, pair_level,
         pair_valid, pair_level, pair_seq_src, pair_seq_tgt, pair_perc)
     votes_h = jnp.sum(pair_valid, axis=1).astype(jnp.int32)
 
-    # Stable compaction of passing hints. When they fit the merge budget MP
-    # this selects ALL of them in input order (reference parity); when they
-    # overflow it (dense self-similar maps) keep the MP strongest hints by
-    # constellation vote count — a hint's pair count is the proposal weight,
-    # so dropping the weakest tail loses the least evidence. Order among the
-    # kept hints stays positional either way.
-    n_pass = jnp.sum(pass3).astype(jnp.int32)
-    order = jnp.argsort(jnp.where(pass3, -votes_h, 1), stable=True)
-    rank = jnp.zeros(H, jnp.int32).at[order].set(jnp.arange(H, dtype=jnp.int32))
-    sel_h = pass3 & (rank < MP)
-    perm = jnp.argsort(~sel_h, stable=True)[:MP]
-    overflow_pass = jnp.maximum(0, n_pass - MP)
+    # Under merge-budget overflow (dense self-similar maps) keep the MP
+    # strongest hints by constellation vote count — a hint's pair count is
+    # the proposal weight, so dropping the weakest tail loses the least
+    # evidence; see select_topk_stable for the under-cap parity guarantee.
+    perm, _, n_pass, overflow_pass = select_topk_stable(
+        -votes_h.astype(jnp.float32), pass3, MP)
 
     g = gidx[perm].astype(jnp.int32)
     T = T_delta[perm]

@@ -71,3 +71,47 @@ def test_save_load_roundtrip(tmp_path):
     db2.push_and_balance(48.0)
     assert db2.n == db.n + 1
     assert db2.searchable_n >= db.searchable_n
+
+
+def test_load_migrates_legacy_dtypes(tmp_path):
+    """Checkpoints written before the HBM-compact dtypes (int32 neighbor
+    tables / counts) must load and keep accepting appends."""
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+
+    db = ContourDB(cfg, capacity=8)
+    for i in range(6):
+        pts = render_scan(world, (10.0 * i, 0.0, 0.0), seed=500 + i)
+        d = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                             cfg.cm, cfg.gmm)
+        db.add_scan(d, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+    p = str(tmp_path / "map.npz")
+    db.save(p)
+
+    # rewrite the store leaves in the legacy (pre-compaction) dtypes
+    z = dict(np.load(p))
+    from contour_context_tpu.types import ScanDesc
+    for i, name in enumerate(ScanDesc._fields):
+        a = z[f"store_{i}"]
+        if a.dtype in (np.int8, np.int16):
+            z[f"store_{i}"] = a.astype(np.int32)
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(legacy, **z)
+
+    db2 = ContourDB.load(legacy, cfg)
+    import jax.numpy as jnp
+    assert db2.store.nei_level.dtype == jnp.int8
+    assert db2.store.cnt.dtype == jnp.int16
+    # appending freshly-built (compact-dtype) descriptors must work
+    pts = render_scan(world, (60.0, 0.0, 0.0), seed=506)
+    d = build_descriptor(pad_points(pts, cfg.cm.max_points), cfg.cm, cfg.gmm)
+    db2.add_scan(d, 6, 36.0)
+    db2.push_and_balance(36.0)
+    assert db2.n == 7
+
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   cfg.cm.max_points), cfg.cm, cfg.gmm)
+    r = db2.query_ranged_knn(q)
+    assert r is not None and db2.seq_of_gidx[r[0]] == 1

@@ -53,3 +53,16 @@ def test_configs_hashable_for_jit():
     a, b = PipelineConfig(), PipelineConfig()
     assert hash(a) == hash(b) and a == b
     assert hash(mulran_pipeline_config()) != hash(a) or mulran_pipeline_config() != a
+
+
+def test_grid_too_large_for_int16_counts_rejected():
+    """ScanDesc.cnt is int16; grids whose cell count could overflow it must
+    be rejected loudly (review finding: silent wraparound corrupts checkSim
+    ratios and GMM weights)."""
+    import pytest
+
+    from contour_context_tpu.config import ContourManagerConfig
+
+    with pytest.raises(ValueError, match="int16"):
+        ContourManagerConfig(n_row=200, n_col=200)
+    ContourManagerConfig(n_row=181, n_col=181)     # 32761 cells: fine

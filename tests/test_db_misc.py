@@ -79,10 +79,14 @@ def test_localize_block_matches_per_scan():
     ])
     n_before = db.n
     state_before = np.asarray(jax.device_get(db.state))
+    stream_counters_before = dict(db.counters)
     blk = db.localize_block_async(q_pts).get()
     assert db.n == n_before
     np.testing.assert_array_equal(np.asarray(jax.device_get(db.state)),
                                   state_before)
+    # serving traffic lands in serving_counters, not the stream's
+    assert db.counters == stream_counters_before
+    assert db.serving_counters["n_hints"] > 0
 
     for b in range(q_pts.shape[0]):
         d = build_descriptor(q_pts[b], CFG.cm, CFG.gmm)
@@ -246,3 +250,14 @@ def test_range_search_vs_numpy_oracle():
     # cap truncation still reports the full in-range count
     hits2, n2 = db.range_search(q, r2, cap=2)
     assert n2 == n_total and len(hits2) == min(2, n_total)
+
+    # an over-wide radius clamps at MAX_DIST_SQ: the masked sentinel rows
+    # (invalid keys / unsearchable scans) must never surface as hits
+    hits3, n3 = db.range_search(q, 1e12, cap=4096)
+    assert n3 == len(expect_all := {
+        (g, lev, s, a)
+        for lev in CFG.db.q_levels
+        for a in range(qk.shape[1]) if np.abs(qk[lev, a]).sum() > 0
+        for g in range(db.searchable_n)
+        for s in range(keys.shape[2]) if np.abs(keys[g, lev, s]).sum() > 0})
+    assert {(h[0], h[1], h[2], h[3]) for h in hits3} == expect_all
