@@ -250,11 +250,14 @@ def main():
 
     from contour_context_tpu.db import _query_step
 
-    dt_big = {8192: None, 32768: None}
+    # 131072 scans ~= a 3.6 h drive @10 Hz (~4.7M retrieval keys, ~5.2 GB
+    # archived store) — the city-scale serving point enabled by the compact
+    # store dtypes
+    dt_big = {8192: None, 32768: None, 131072: None}
     dt_loc_ms = None
     qdesc = build_descriptor(staged[0][0], cfg.cm, cfg.gmm)
     n_have = db.n
-    for n_db in (8192, 32768):
+    for n_db in (8192, 32768, 131072):
         if not in_budget():
             break
         big = ContourDB(cfg, capacity=n_db)
@@ -317,6 +320,7 @@ def main():
         "batched_block64_ms": rnd(dt_blk64_ms),
         "query_8192scan_db_ms": rnd(dt_big[8192]),
         "query_32768scan_db_ms": rnd(dt_big[32768]),
+        "query_131072scan_db_ms": rnd(dt_big[131072]),
         "localize_block16_vs_32768map_ms": rnd(dt_loc_ms),
         "upload_f32_ms": round(dt_up_ms, 3),
         "upload_q16_ms": rnd(dt_q16_ms),

@@ -61,6 +61,20 @@ from contour_context_tpu.types import ScanDesc
 MAX_DIST_SQ = 1e6  # contour_db.h:30
 
 
+def _device_fetch(x):
+    """jax.device_get with ONE retry.
+
+    The axon TPU tunnel surfaces transient FAILED_PRECONDITION backend
+    errors on fetches (see CLAUDE.md "Platform gotchas"); a single retry
+    distinguishes them from real failures. Harmless elsewhere."""
+    try:
+        return jax.device_get(x)
+    except Exception as e:                      # jaxlib XlaRuntimeError
+        if "FAILED_PRECONDITION" not in str(e):
+            raise
+        return jax.device_get(x)
+
+
 # ---------------------------------------------------------------------------
 # device helpers
 # ---------------------------------------------------------------------------
@@ -563,7 +577,7 @@ class QueryHandle:
         if self._host is not None:
             rec = self._host
             return (rec.gidx, rec.corr, rec.T) if rec.found else None
-        return self._finish(jax.device_get(self.rec))
+        return self._finish(_device_fetch(self.rec))
 
 
 class BlockHandle:
@@ -586,7 +600,7 @@ class BlockHandle:
         """Fetch the block's results: one host copy, list of per-scan
         (gidx, corr, T3) or None, in scan order."""
         if self._host is None:
-            mat = np.asarray(jax.device_get(self.recs))
+            mat = np.asarray(_device_fetch(self.recs))
             out = []
             for row in mat:
                 rec = _unpack_record(row)
@@ -605,9 +619,9 @@ def drain_handles(handles) -> list:
     if not live:
         return [None] * len(handles)
     if len(live) == 1:
-        mat = [jax.device_get(live[0].rec)]
+        mat = [_device_fetch(live[0].rec)]
     else:  # eager stack = one device op, then ONE host copy
-        mat = np.asarray(jax.device_get(jnp.stack([h.rec for h in live])))
+        mat = np.asarray(_device_fetch(jnp.stack([h.rec for h in live])))
     it = iter(mat)
     return [None if h is None else h._finish(next(it)) for h in handles]
 
@@ -760,7 +774,7 @@ class ContourDB:
         """Host view of the device window state (synchronizing; debug only)."""
         if self.state is None:
             return 0
-        return int(jax.device_get(self.state)[1])
+        return int(_device_fetch(self.state)[1])
 
     def _grow(self, new_capacity: int) -> None:
         """Re-allocate the store to a larger capacity (device-side pad).
@@ -851,9 +865,9 @@ class ContourDB:
         """Serialize the populated rows + window state + metadata to .npz."""
         assert self.store is not None, "empty DB"
         n = self.n
-        host_store = jax.device_get(jax.tree.map(lambda a: a[:n], self.store))
-        state = np.asarray(jax.device_get(self.state))
-        ts_store = np.asarray(jax.device_get(self.ts_store))[:n]
+        host_store = _device_fetch(jax.tree.map(lambda a: a[:n], self.store))
+        state = np.asarray(_device_fetch(self.state))
+        ts_store = np.asarray(_device_fetch(self.ts_store))[:n]
         arrays = {f"store_{i}": leaf
                   for i, leaf in enumerate(jax.tree.leaves(host_store))}
         np.savez_compressed(
@@ -896,6 +910,44 @@ class ContourDB:
         for k, v in zip(sorted(db.counters), z["counters"]):
             db.counters[k] = int(v)
         return db
+
+    @classmethod
+    def merge(cls, dbs: List["ContourDB"],
+              cfg: Optional[PipelineConfig] = None,
+              capacity: Optional[int] = None) -> "ContourDB":
+        """Compose multiple session maps into ONE frozen serving map.
+
+        Multi-session composition has no reference analog (the C++ DB is
+        rebuilt by replaying one sequence); it falls out of the dense-array
+        design: the merged store is the row-wise concatenation of the
+        sessions' archived prefixes. Every merged row is immediately
+        searchable (state = all-popped) and timestamps are re-stamped to a
+        monotone index, so the result is meant for map serving
+        (localize_block_async / query_async) — continuing to STREAM into it
+        would conflate the sessions' time axes; stream into a fresh DB and
+        merge again instead. `session_of_gidx[g]` maps a result row back to
+        (session index, original seq)."""
+        dbs = [db for db in dbs if db.store is not None and db.n > 0]
+        assert dbs, "nothing to merge"
+        n_total = sum(db.n for db in dbs)
+        cap = capacity or n_total
+        assert cap >= n_total, "capacity smaller than merged rows"
+        out = cls(dbs[0].cfg if cfg is None else cfg, capacity=cap)
+        out._init_store()
+        parts = [jax.tree.map(lambda a, m=db.n: a[:m], db.store)
+                 for db in dbs]
+        out.store = jax.tree.map(
+            lambda z, *xs: z.at[:n_total].set(jnp.concatenate(xs, axis=0)),
+            out.store, *parts)
+        out.ts_store = out.ts_store.at[:n_total].set(
+            jnp.arange(n_total, dtype=jnp.float32))
+        out.state = jnp.asarray([n_total, n_total], jnp.int32)
+        out.n = n_total
+        out.seq_of_gidx = [s for db in dbs for s in db.seq_of_gidx[:db.n]]
+        out.ts = list(range(n_total))
+        out.session_of_gidx = [(i, s) for i, db in enumerate(dbs)
+                               for s in db.seq_of_gidx[:db.n]]
+        return out
 
     # -- batched throughput mode -------------------------------------------
 
@@ -984,7 +1036,7 @@ class ContourDB:
         max_dist_sq = min(float(max_dist_sq), MAX_DIST_SQ)
         # state[1] is the device-resident searchable prefix: pass it directly
         # (one fetch total; an empty window just returns zero hits)
-        packed = np.asarray(jax.device_get(_range_search(
+        packed = np.asarray(_device_fetch(_range_search(
             self.store.keys, query.keys, self.state[1],
             jnp.float32(max_dist_sq), tuple(self.cfg.db.q_levels), int(cap))))
         n_total = (int(packed[0, 0]) << 20) + int(packed[0, 1])

@@ -115,3 +115,53 @@ def test_load_migrates_legacy_dtypes(tmp_path):
                    cfg.cm.max_points), cfg.cm, cfg.gmm)
     r = db2.query_ranged_knn(q)
     assert r is not None and db2.seq_of_gidx[r[0]] == 1
+
+
+def test_merge_sessions_serving_map(tmp_path):
+    """ContourDB.merge composes two session maps into one frozen serving
+    map: results against the merged map match querying the owning session's
+    map alone, and gidx maps back to (session, seq)."""
+    import jax.numpy as jnp
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+
+    def build_session(x0, n, seed0):
+        db = ContourDB(cfg, capacity=8)
+        for i in range(n):
+            pts = render_scan(world, (x0 + 10.0 * i, 0.0, 0.0), seed=seed0 + i)
+            d = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                                 cfg.cm, cfg.gmm)
+            db.add_scan(d, i, 6.0 * i)
+            db.push_and_balance(6.0 * i)
+        return db
+
+    db_a = build_session(0.0, 4, 500)       # covers x = 0..30
+    db_b = build_session(100.0, 4, 600)     # covers x = 100..130
+
+    merged = ContourDB.merge([db_a, db_b], cfg)
+    assert merged.n == 8
+    assert int(np.asarray(merged.state)[1]) == 8    # all rows searchable
+
+    # a revisit inside session B's coverage
+    q = build_descriptor(
+        pad_points(render_scan(world, (110.4, 0.7, 0.15), seed=900),
+                   cfg.cm.max_points), cfg.cm, cfg.gmm)
+    r = merged.query_ranged_knn(q)
+    assert r is not None
+    sess, seq = merged.session_of_gidx[r[0]]
+    assert sess == 1 and seq == 1, (sess, seq)
+
+    # corr/T match querying session B alone with a fully-open window
+    db_b.state = jnp.asarray([db_b.n, db_b.n], jnp.int32)
+    r_b = db_b.query_ranged_knn(q)
+    assert r_b is not None and db_b.seq_of_gidx[r_b[0]] == seq
+    np.testing.assert_allclose(r[1], r_b[1], rtol=1e-4)
+    np.testing.assert_allclose(r[2], r_b[2], rtol=1e-4, atol=1e-4)
+
+    # a revisit inside session A's coverage resolves to session 0
+    q2 = build_descriptor(
+        pad_points(render_scan(world, (20.3, -0.5, -0.1), seed=901),
+                   cfg.cm.max_points), cfg.cm, cfg.gmm)
+    r2 = merged.query_ranged_knn(q2)
+    assert r2 is not None and merged.session_of_gidx[r2[0]][0] == 0
