@@ -254,7 +254,7 @@ def main():
     # archived store) — the city-scale serving point enabled by the compact
     # store dtypes
     dt_big = {8192: None, 32768: None, 131072: None}
-    dt_loc_ms = None
+    dt_loc_ms = {32768: None, 131072: None}
     qdesc = build_descriptor(staged[0][0], cfg.cm, cfg.gmm)
     n_have = db.n
     for n_db in (8192, 32768, 131072):
@@ -282,11 +282,11 @@ def main():
         # of B3 raw point clouds against this frozen city-scale map in ONE
         # dispatch (vmapped descriptor build + batched fused queries,
         # db.localize_block_async / _localize_block)
-        if n_db == 32768 and in_budget():
+        if n_db in dt_loc_ms and in_budget():
             from contour_context_tpu.db import _localize_block
 
             # B3=16 keeps the batched (B3, Q, A, N*A) distance tensor within
-            # ~0.5 GB; larger serving batches should chunk via lax.map
+            # ~1 GB at 131k scans; larger serving batches chunk via lax.map
             B3 = 16
             loc_dev = jax.device_put(
                 np.stack([clouds[j % len(clouds)] for j in range(B3)]))
@@ -296,7 +296,7 @@ def main():
             for _ in range(3):
                 recs = _localize_block(big.store, big.state, loc_dev, cfg)
                 jax.block_until_ready(recs)
-            dt_loc_ms = (time.perf_counter() - t0) / (3 * B3) * 1e3
+            dt_loc_ms[n_db] = (time.perf_counter() - t0) / (3 * B3) * 1e3
         del big
     def rnd(v):
         return round(v, 3) if v is not None else None
@@ -321,7 +321,8 @@ def main():
         "query_8192scan_db_ms": rnd(dt_big[8192]),
         "query_32768scan_db_ms": rnd(dt_big[32768]),
         "query_131072scan_db_ms": rnd(dt_big[131072]),
-        "localize_block16_vs_32768map_ms": rnd(dt_loc_ms),
+        "localize_block16_vs_32768map_ms": rnd(dt_loc_ms[32768]),
+        "localize_block16_vs_131072map_ms": rnd(dt_loc_ms[131072]),
         "upload_f32_ms": round(dt_up_ms, 3),
         "upload_q16_ms": rnd(dt_q16_ms),
         "baseline_ms": BASELINE_MS,

@@ -33,6 +33,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                          "collapses the per-stage timing report; ignored "
                          "when --save-mid-dir is set, which needs the "
                          "descriptor on host)")
+    ap.add_argument("--trace-dir",
+                    help="capture a jax.profiler trace of the replay into "
+                         "this directory (open with TensorBoard / Perfetto; "
+                         "complements the 5-stage wall-time report)")
     args = ap.parse_args(argv)
 
     cfg = PipelineConfig()
@@ -53,7 +57,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     pipe = LoopClosurePipeline(cfg, ev, capacity=max(len(ev) + 8, 64),
                                save_mid_dir=args.save_mid_dir,
                                fused_step=args.fused_step)
-    pipe.run(max_scans=args.max_scans, progress_every=200)
+    import contextlib
+
+    if args.trace_dir:
+        import jax
+
+        trace_cm = jax.profiler.trace(args.trace_dir)
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        pipe.run(max_scans=args.max_scans, progress_every=200)
     pipe.save_outcome(fpath_outcome)
     pipe.stp.print_screen()
     if args.timing_log:

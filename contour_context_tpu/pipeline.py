@@ -315,11 +315,13 @@ class LoopClosurePipeline:
 
 def run_batch(fpath_pose: str, fpath_laser: str, outcome_path: str,
               cfg: Optional[PipelineConfig] = None,
-              max_scans: Optional[int] = None) -> LoopClosurePipeline:
+              max_scans: Optional[int] = None,
+              fused_step: bool = False) -> LoopClosurePipeline:
     """The cont2_batch_bin_test entry point (batch_bin_test.cpp:261-307)."""
     cfg = cfg or PipelineConfig()
     ev = ContLCDEvaluator(fpath_pose, fpath_laser, cfg.correlation_thres)
-    pipe = LoopClosurePipeline(cfg, ev, capacity=max(len(ev) + 8, 64))
+    pipe = LoopClosurePipeline(cfg, ev, capacity=max(len(ev) + 8, 64),
+                               fused_step=fused_step)
     pipe.run(max_scans=max_scans, progress_every=200)
     pipe.save_outcome(outcome_path)
     pipe.stp.print_screen()
