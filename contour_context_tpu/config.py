@@ -75,6 +75,9 @@ class ContourManagerConfig:
                                # (KITTI-style scenes occupy ~2-6k of 22.5k cells)
     use_pallas_ring: bool = False  # Pallas ring-key kernel (ops/pallas_kernels.py);
                                    # the XLA default is equally fast at 150x150
+    keys_bf16: bool = False    # store retrieval keys bfloat16: halves the HBM
+                               # traffic of city-scale search; ranking-only
+                               # rounding, cascade re-verifies survivors
     view_stat: ContourViewStatConfig = field(default_factory=ContourViewStatConfig)
 
     def __post_init__(self):

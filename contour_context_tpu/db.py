@@ -130,13 +130,21 @@ def _key_distances(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...]):
     searchable = scan_of_row < searchable_n
     q_valid = jnp.abs(q).sum(-1) > 0                        # (Q, A)
 
-    cross = jnp.einsum("qad,qnd->qan", q, rows,
-                       precision=jax.lax.Precision.HIGHEST)
-    d2 = (jnp.sum(q * q, axis=-1)[:, :, None]
-          + jnp.sum(rows * rows, axis=-1)[:, None, :] - 2.0 * cross)
+    # bf16 keys (cfg.cm.keys_bf16) stream at half the HBM bytes; the MXU
+    # accumulates in f32 either way (preferred_element_type), and the norm
+    # reductions upcast in-register (XLA fuses the cast, no f32 copy).
+    # HIGHEST precision only matters for f32 inputs (avoids bf16 splitting).
+    f32 = jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if rows.dtype == f32
+            else jax.lax.Precision.DEFAULT)
+    q_f = q.astype(f32)
+    cross = jnp.einsum("qad,qnd->qan", q, rows, precision=prec,
+                       preferred_element_type=f32)
+    d2 = (jnp.sum(q_f * q_f, axis=-1)[:, :, None]
+          + jnp.sum(rows.astype(f32) ** 2, axis=-1)[:, None, :] - 2.0 * cross)
     d2 = jnp.maximum(d2, 0.0)
     ok = row_valid[:, None, :] & searchable[:, None, :] & q_valid[..., None]
-    return jnp.where(ok, d2, MAX_DIST_SQ), q
+    return jnp.where(ok, d2, MAX_DIST_SQ), q_f
 
 
 def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],

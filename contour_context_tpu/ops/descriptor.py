@@ -467,6 +467,12 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
     tab = component_tables(labels, masks.reshape(cfg.n_levels, -1),
                            bev, rowf, colf, cfg)
     keys, anch_valid = make_keys(tab, bev, rowf, colf, cfg)
+    if cfg.keys_bf16:
+        # halves the HBM traffic of the city-scale key search (the measured
+        # bottleneck at 100k+ archived scans); the ~0.4% relative rounding
+        # only perturbs the candidate RANKING — every survivor is re-verified
+        # exactly by the check cascade downstream
+        keys = keys.astype(jnp.bfloat16)
     bci = make_bcis(tab, anch_valid, cfg)
     gmm_mask, auto_corr = gmm_summary(tab, gmm_cfg)
     return ScanDesc(

@@ -56,11 +56,16 @@ def sharded_search(db_keys, q_keys, searchable_n,
         row_valid = jnp.abs(rows).sum(-1) > 0
         scan_of_row = base + jnp.repeat(jnp.arange(N_loc, dtype=jnp.int32), A)[None]
         ok = row_valid & (scan_of_row < n_searchable)
-        # same MXU-shaped distance as db._search_impl
-        cross = jnp.einsum("qad,qnd->qan", qk, rows,
-                           precision=jax.lax.Precision.HIGHEST)
-        d2 = (jnp.sum(qk * qk, axis=-1)[:, :, None]
-              + jnp.sum(rows * rows, axis=-1)[:, None, :] - 2.0 * cross)
+        # same MXU-shaped distance as db._key_distances (incl. the bf16-keys
+        # path: f32 accumulation, in-register upcast of the norm reductions)
+        f32 = jnp.float32
+        prec = (jax.lax.Precision.HIGHEST if rows.dtype == f32
+                else jax.lax.Precision.DEFAULT)
+        qk_f = qk.astype(f32)
+        cross = jnp.einsum("qad,qnd->qan", qk, rows, precision=prec,
+                           preferred_element_type=f32)
+        d2 = (jnp.sum(qk_f * qk_f, axis=-1)[:, :, None]
+              + jnp.sum(rows.astype(f32) ** 2, axis=-1)[:, None, :] - 2.0 * cross)
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(ok[:, None, :], d2, MAX_DIST_SQ)
         neg, idx = jax.lax.top_k(-d2, nnk)
@@ -83,7 +88,7 @@ def sharded_search(db_keys, q_keys, searchable_n,
     gidx = jnp.take_along_axis(gidx_all, pick, axis=2)
     seq_src = jnp.take_along_axis(seq_all, pick, axis=2)
 
-    k0, k1, k2 = (q_keys[lv][..., i] for i in range(3))
+    k0, k1, k2 = (q_keys[lv][..., i].astype(jnp.float32) for i in range(3))
     ub = (jnp.maximum((k0 - k0 * 0.8) ** 2, (k0 - k0 / 0.8) ** 2)
           + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
           + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))

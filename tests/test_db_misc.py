@@ -261,3 +261,41 @@ def test_range_search_vs_numpy_oracle():
         for g in range(db.searchable_n)
         for s in range(keys.shape[2]) if np.abs(keys[g, lev, s]).sum() > 0})
     assert {(h[0], h[1], h[2], h[3]) for h in hits3} == expect_all
+
+
+@pytest.mark.slow
+def test_bf16_keys_search_parity():
+    """keys_bf16 stores retrieval keys bfloat16 (half the search HBM
+    traffic); ranking perturbation is sub-percent, so the same loop is
+    found with a near-identical score and pose."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    cfg16 = PipelineConfig(cm=ContourManagerConfig(max_points=16384,
+                                                   keys_bf16=True))
+    world = make_world(11, n_structs=220, extent=160.0)
+
+    results = {}
+    for name, cfg in (("f32", CFG), ("bf16", cfg16)):
+        db = ContourDB(cfg, capacity=8)
+        for i in range(6):
+            pts = render_scan(world, (10.0 * i, 0.0, 0.0), seed=500 + i)
+            d = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                                 cfg.cm, cfg.gmm)
+            db.add_scan(d, i, 6.0 * i)
+            db.push_and_balance(6.0 * i)
+        if name == "bf16":
+            assert db.store.keys.dtype == jnp.bfloat16
+        q = build_descriptor(
+            pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                       cfg.cm.max_points), cfg.cm, cfg.gmm)
+        r = db.query_ranged_knn(q)
+        assert r is not None
+        results[name] = (db.seq_of_gidx[r[0]], r[1], r[2])
+
+    assert results["f32"][0] == results["bf16"][0] == 1
+    np.testing.assert_allclose(results["bf16"][1], results["f32"][1],
+                               rtol=2e-2)
+    np.testing.assert_allclose(results["bf16"][2], results["f32"][2],
+                               rtol=2e-2, atol=2e-2)
