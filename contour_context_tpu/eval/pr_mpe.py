@@ -17,6 +17,7 @@ Exact-parity, vectorized reimplementation of the reference scorer
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -174,21 +175,61 @@ def score_outcome(fp_gt_sens_poses: str, fp_outcome: str,
     )
 
 
+def plot_pr_curves(results, labels, out_path: str) -> None:
+    """PR-curve figure (reference pr_mpe.py:169-207): one curve per outcome
+    file, recall on x, precision on y."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(7, 5))
+    for j, (r, lab) in enumerate(zip(results, labels)):
+        ax.plot(r.pr_points[:, 0], r.pr_points[:, 1], color="C%d" % (j % 10),
+                label="%s (maxF1 %.4f)" % (lab, r.max_f1))
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1.02)
+    ax.set_ylim(0, 1.02)
+    ax.grid(True, alpha=0.3)
+    ax.legend(loc="lower left")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description="PR / max-F1 / MPE scorer (pr_mpe.py parity)")
     ap.add_argument("gt_poses")
-    ap.add_argument("outcome")
+    ap.add_argument("outcome", nargs="+",
+                    help="one or more outcome files (curves overlay)")
+    ap.add_argument("--plot", help="save the PR curve(s) to this image path")
+    ap.add_argument("--thres-dist", type=float, default=THRES_DIST,
+                    help="gt-positive ball radius, m (reference: 5)")
+    ap.add_argument("--excl-frames", type=int, default=EXCL_RECENT_FRAMES,
+                    help="exclude this many most-recent frames from gt "
+                         "positives (reference: 150; use ~2 for the "
+                         "6 s/scan synthetic trajectories)")
     args = ap.parse_args(argv)
-    r = score_outcome(args.gt_poses, args.outcome)
-    print("Max F1 score: %f @thres %f" % (r.max_f1, r.max_f1_thres))
-    print("Recall @ P=1: %f" % r.recall_at_p1)
-    print("TP count: ", r.tp_count)
-    print("Rot mean err: ", r.rot_mean_deg)
-    print("Rot rmse    : ", r.rot_rmse_deg)
-    print("Trans mean err: ", r.trans_mean)
-    print("Trans rmse    : ", r.trans_rmse)
+    results = [score_outcome(args.gt_poses, oc, thres_dist=args.thres_dist,
+                             excl_frames=args.excl_frames)
+               for oc in args.outcome]
+    for oc, r in zip(args.outcome, results):
+        if len(results) > 1:
+            print("==", oc)
+        print("Max F1 score: %f @thres %f" % (r.max_f1, r.max_f1_thres))
+        print("Recall @ P=1: %f" % r.recall_at_p1)
+        print("TP count: ", r.tp_count)
+        print("Rot mean err: ", r.rot_mean_deg)
+        print("Rot rmse    : ", r.rot_rmse_deg)
+        print("Trans mean err: ", r.trans_mean)
+        print("Trans rmse    : ", r.trans_rmse)
+    if args.plot:
+        plot_pr_curves(results, [os.path.basename(o) for o in args.outcome],
+                       args.plot)
+        print("PR curve ->", args.plot)
 
 
 if __name__ == "__main__":

@@ -33,3 +33,12 @@ def test_pr_curve_monotone_recall_sorted():
     r = score_outcome(GT, OUTCOME)
     # sanity: sweep produces valid probabilities
     assert np.all(r.pr_points >= 0) and np.all(r.pr_points <= 1 + 1e-12)
+
+
+def test_plot_pr_curves(tmp_path):
+    from contour_context_tpu.eval.pr_mpe import plot_pr_curves
+
+    r = score_outcome(GT, OUTCOME)
+    out = str(tmp_path / "pr.png")
+    plot_pr_curves([r, r], ["a", "b"], out)
+    assert os.path.getsize(out) > 1000
