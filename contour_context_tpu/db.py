@@ -341,9 +341,13 @@ class QueryRecord(NamedTuple):
     overflow_cand: jnp.ndarray   # () int32 hints dropped, candidate table full
     overflow_pot: jnp.ndarray    # () int32 hints whose bit-adjacent pair pool
     #                                 exceeded cascade.P_POT (window truncated)
+    overflow_win: jnp.ndarray    # () int32 hints whose consensus window
+    #                                 exceeded cascade.P_MAX-1 (pairs dropped)
+    overflow_pix: jnp.ndarray    # () int32 query ring-key pixels beyond
+    #                                 cfg.cm.pix_pool (weakest-weight dropped)
 
 
-RECORD_WIDTH = 16   # packed record floats (15 used; ints exact in f32 < 2^24)
+RECORD_WIDTH = 18   # packed record floats (17 used; ints exact in f32 < 2^24)
 
 
 def _pack_record(rec: QueryRecord) -> jnp.ndarray:
@@ -354,8 +358,9 @@ def _pack_record(rec: QueryRecord) -> jnp.ndarray:
         jnp.stack([f32(rec.n_hints), f32(rec.aft1), f32(rec.aft2),
                    f32(rec.aft3), f32(rec.n_cand), f32(rec.overflow_hints),
                    f32(rec.overflow_pass), f32(rec.overflow_cand),
-                   f32(rec.overflow_pot)]),
-        jnp.zeros(RECORD_WIDTH - 15, jnp.float32),
+                   f32(rec.overflow_pot), f32(rec.overflow_win),
+                   f32(rec.overflow_pix)]),
+        jnp.zeros(RECORD_WIDTH - 17, jnp.float32),
     ])
 
 
@@ -366,7 +371,8 @@ def _unpack_record(v: np.ndarray) -> QueryRecord:
         T=v[3:6].astype(np.float64), n_hints=int(v[6]), aft1=int(v[7]),
         aft2=int(v[8]), aft3=int(v[9]), n_cand=int(v[10]),
         overflow_hints=int(v[11]), overflow_pass=int(v[12]),
-        overflow_cand=int(v[13]), overflow_pot=int(v[14]))
+        overflow_cand=int(v[13]), overflow_pot=int(v[14]),
+        overflow_win=int(v[15]), overflow_pix=int(v[16]))
 
 
 def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
@@ -460,6 +466,8 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
         overflow_pass=st.overflow_pass,
         overflow_cand=st.overflow_cand,
         overflow_pot=jnp.sum(res.pot_overflow & hv).astype(jnp.int32),
+        overflow_win=jnp.sum(res.win_overflow & hv).astype(jnp.int32),
+        overflow_pix=jnp.asarray(query.pix_overflow, jnp.int32),
     ))
 
 
@@ -622,16 +630,18 @@ def drain_handles(handles) -> list:
     """Fetch a block of QueryHandles with one device-side stack + ONE copy.
 
     Returns a list of per-handle results (None or (gidx, corr, T3)), in order.
-    None entries in `handles` pass through (queries against an empty DB)."""
-    live = [h for h in handles if h is not None]
-    if not live:
-        return [None] * len(handles)
-    if len(live) == 1:
-        mat = [_device_fetch(live[0].rec)]
-    else:  # eager stack = one device op, then ONE host copy
-        mat = np.asarray(_device_fetch(jnp.stack([h.rec for h in live])))
-    it = iter(mat)
-    return [None if h is None else h._finish(next(it)) for h in handles]
+    None entries in `handles` pass through (queries against an empty DB);
+    handles already fetched via get() reuse their cached record (their
+    counters were accumulated then — re-finishing would double-count)."""
+    live = [h for h in handles if h is not None and h._host is None]
+    if live:
+        if len(live) == 1:
+            mat = [_device_fetch(live[0].rec)]
+        else:  # eager stack = one device op, then ONE host copy
+            mat = np.asarray(_device_fetch(jnp.stack([h.rec for h in live])))
+        for h, vec in zip(live, mat):
+            h._finish(vec)
+    return [None if h is None else h.get() for h in handles]
 
 
 # ---------------------------------------------------------------------------
@@ -762,7 +772,8 @@ class ContourDB:
     def _zero_counters() -> dict:
         return dict(n_hints=0, cand_aft_check1=0, cand_aft_check2=0,
                     cand_aft_check3=0, overflow_hints=0,
-                    overflow_pass=0, overflow_cand=0, overflow_pot=0)
+                    overflow_pass=0, overflow_cand=0, overflow_pot=0,
+                    overflow_win=0, overflow_pix=0)
 
     def _accumulate_counters(self, rec, which: str = "counters") -> None:
         c = getattr(self, which)
@@ -774,6 +785,8 @@ class ContourDB:
         c["overflow_pass"] += int(rec.overflow_pass)
         c["overflow_cand"] += int(rec.overflow_cand)
         c["overflow_pot"] += int(rec.overflow_pot)
+        c["overflow_win"] += int(rec.overflow_win)
+        c["overflow_pix"] += int(rec.overflow_pix)
 
     # -- maintenance ------------------------------------------------------
 
@@ -881,9 +894,12 @@ class ContourDB:
         np.savez_compressed(
             path, n=n, capacity=self.capacity, state=state, ts_store=ts_store,
             seq_of_gidx=np.asarray(self.seq_of_gidx, np.int64),
-            ts=np.asarray(self.ts, np.float64),
+            # ts_store is the authoritative per-row timestamp record (the
+            # host list is empty on the device-resident upload path)
+            ts=ts_store.astype(np.float64),
             counters=np.asarray([self.counters[k] for k in sorted(self.counters)],
                                 np.int64),
+            counter_keys=np.asarray(sorted(self.counters)),
             **arrays)
 
     @classmethod
@@ -895,17 +911,21 @@ class ContourDB:
         cap = capacity or int(z["capacity"])
         assert cap >= n, "capacity smaller than stored rows"
         db = cls(cfg, capacity=cap)
-        leaves = [z[f"store_{i}"] for i in range(len(ScanDesc._fields))]
-        treedef = jax.tree.structure(ScanDesc(*ScanDesc._fields))
-        host_store = jax.tree.unflatten(treedef, leaves)
-        # migrate checkpoints written before the HBM-compact dtypes: the
-        # store must match what build_descriptor emits today or the first
-        # append after resume fails on a dtype mismatch
+        # migrate old checkpoints: leaves saved by position, so fields ADDED
+        # at the end of ScanDesc (e.g. pix_overflow) zero-fill when missing,
+        # and pre-compaction dtypes cast to what build_descriptor emits today
+        # (a mismatch would fail the first append after resume)
         from contour_context_tpu.ops.descriptor import build_descriptor
 
         current = jax.eval_shape(
             lambda p: build_descriptor(p, cfg.cm, cfg.gmm),
             jax.ShapeDtypeStruct((cfg.cm.max_points, 4), jnp.float32))
+        cur_leaves = jax.tree.leaves(current)
+        leaves = [z[f"store_{i}"] if f"store_{i}" in z.files
+                  else np.zeros((n,) + cur_leaves[i].shape, cur_leaves[i].dtype)
+                  for i in range(len(ScanDesc._fields))]
+        treedef = jax.tree.structure(ScanDesc(*ScanDesc._fields))
+        host_store = jax.tree.unflatten(treedef, leaves)
         db.store = jax.tree.map(
             lambda a, cur: jnp.zeros((cap,) + a.shape[1:], cur.dtype)
             .at[:n].set(a.astype(cur.dtype)),
@@ -915,8 +935,16 @@ class ContourDB:
         db.n = n
         db.seq_of_gidx = [int(x) for x in z["seq_of_gidx"]]
         db.ts = [float(x) for x in z["ts"]]
-        for k, v in zip(sorted(db.counters), z["counters"]):
-            db.counters[k] = int(v)
+        # counters map by name (counter_keys); legacy checkpoints predate the
+        # key list and used the then-current 8 sorted names
+        legacy = ["cand_aft_check1", "cand_aft_check2", "cand_aft_check3",
+                  "n_hints", "overflow_cand", "overflow_hints",
+                  "overflow_pass", "overflow_pot"]
+        keys = ([str(k) for k in z["counter_keys"]] if "counter_keys" in z.files
+                else legacy)
+        for k, v in zip(keys, z["counters"]):
+            if k in db.counters:
+                db.counters[k] = int(v)
         return db
 
     @classmethod

@@ -99,8 +99,20 @@ class OnlineSpinner:
             return False
 
     def finish(self) -> None:
-        """Signal end-of-stream and wait for the spinner to drain."""
-        self._q.put(None)
+        """Signal end-of-stream and wait for the spinner to drain.
+
+        Never blocks forever: if the spinner already terminated with a full
+        feed queue, the blocking put would deadlock the caller — poll with a
+        timeout and bail once the spin thread is gone."""
+        while True:
+            try:
+                self._q.put(None, timeout=0.2)
+                break
+            except queue.Full:
+                if self._terminate.is_set() or (
+                        self._thread is not None
+                        and not self._thread.is_alive()):
+                    break
         if self._thread is not None:
             self._thread.join()
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from contour_context_tpu.config import DIST_BIN_LAYERS, LAYER_AREA_WEIGHTS
+from contour_context_tpu.ops.cascade import _clamp_ang
 
 P_PROP = 4          # max proposals per candidate pose (contour_db.h:326)
 N_LEV = 6           # level values 0..5 cover q_levels and DIST_BIN_LAYERS
@@ -45,10 +46,6 @@ class CandidateState(NamedTuple):
     prop_perc: jnp.ndarray    # (C, 4, NUM_SLOTS) f32 first-insert percs
     overflow_cand: jnp.ndarray  # () int32 hints dropped: candidate table full
     overflow_pass: jnp.ndarray  # () int32 passing hints beyond the merge budget
-
-
-def _clamp_ang(a):
-    return a - jnp.floor((a + math.pi) / (2 * math.pi)) * (2 * math.pi)
 
 
 def select_topk_stable(priority, mask, cap: int):
@@ -72,15 +69,24 @@ def select_topk_stable(priority, mask, cap: int):
 
 def dense_pair_maps(pair_valid, pair_level, pair_seq_src, pair_seq_tgt,
                     pair_perc):
-    """(H, P) ragged pair lists -> dense (H, NUM_SLOTS) perc/taken maps."""
-    H = pair_valid.shape[0]
+    """(H, P) ragged pair lists -> dense (H, NUM_SLOTS) perc/taken maps.
+
+    Duplicate ids within one hint's pair list (possible when a src neighbor
+    is bit-adjacent to two tgt neighbors sharing a seq) keep the FIRST
+    pair's perc — the reference's std::map setdefault semantics
+    (contour_db.h:305), which the host replica in db.py also pins."""
+    H, P = pair_valid.shape
     ids = jnp.where(
         pair_valid,
         pair_level * (N_SEQ * N_SEQ) + pair_seq_src * N_SEQ + pair_seq_tgt,
         NUM_SLOTS)
     rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (H, P))
+    first_pos = jnp.full((H, NUM_SLOTS + 1), P, jnp.int32).at[rows, ids].min(
+        jnp.where(pair_valid, pos, P))
+    is_first = pair_valid & (pos == first_pos[rows, ids])
     perc = jnp.zeros((H, NUM_SLOTS + 1), jnp.float32).at[rows, ids].add(
-        jnp.where(pair_valid, pair_perc, 0.0))
+        jnp.where(is_first, pair_perc, 0.0))
     taken = jnp.zeros((H, NUM_SLOTS + 1), jnp.float32).at[rows, ids].add(
         pair_valid.astype(jnp.float32))
     return perc[:, :NUM_SLOTS], taken[:, :NUM_SLOTS] > 0

@@ -52,6 +52,8 @@ class CascadeResult(NamedTuple):
     pair_area_perc: jnp.ndarray  # (H, P) f32
     T_delta: jnp.ndarray      # (H, 3) f32 (x, y, theta): T_tgt = T_delta * T_src
     pot_overflow: jnp.ndarray  # (H,) bool — bit-adjacent pairs exceeded P_POT
+    win_overflow: jnp.ndarray  # (H,) bool — consensus window exceeded P_MAX-1
+    #                             members (pairs dropped from check 3 / TF)
 
 
 # ---------------------------------------------------------------------------
@@ -288,4 +290,5 @@ def run_cascade(
         pair_valid=cstl2, pair_level=pair_level, pair_seq_src=pair_seq_src,
         pair_seq_tgt=pair_seq_tgt, pair_area_perc=area_perc, T_delta=T_delta,
         pot_overflow=pot_overflow,
+        win_overflow=longest > (P_MAX - 1),
     )

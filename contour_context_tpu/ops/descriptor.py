@@ -164,8 +164,7 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
     rep = jnp.where(sel_valid, top_idx, S)             # label value of the slot
 
     # first-pass sums
-    def level_sums(lab, m, extra):
-        mf = m.astype(jnp.float32)
+    def level_sums(lab, m):
         return (
             seg_sum(jnp.where(m, rowf, 0.0), lab),
             seg_sum(jnp.where(m, colf, 0.0), lab),
@@ -174,29 +173,21 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
             seg_sum(jnp.where(m, bev * colf, 0.0), lab),
         )
 
-    s_r, s_c, s_h, s_hr, s_hc = jax.vmap(level_sums, in_axes=(0, 0, None))(
-        labels, masks_flat, None)
+    s_r, s_c, s_h, s_hr, s_hc = jax.vmap(level_sums)(labels, masks_flat)
 
     cntf_safe = jnp.maximum(cnt_f, 1.0)
     mean_r_full = s_r / cntf_safe
     mean_c_full = s_c / cntf_safe
 
-    # second pass: centered second moments (stable covariance)
+    # second pass: centered second moments (stable covariance); mean_*_full
+    # are already size S+1 so labels index them directly
     def level_c2(lab, m, mr, mc):
-        ext_mr = jnp.concatenate([mr, jnp.zeros(1, jnp.float32)])
-        ext_mc = jnp.concatenate([mc, jnp.zeros(1, jnp.float32)])
-        dr = jnp.where(m, rowf - ext_mr[lab], 0.0)
-        dc = jnp.where(m, colf - ext_mc[lab], 0.0)
-        return (seg_sum(dr * dr, lab), seg_sum(dr * dc, lab), seg_sum(dc * dc, lab))
-
-    # note: ext arrays indexed by label need size S+1; mean_*_full already S+1
-    def level_c2_fixed(lab, m, mr, mc):
         dr = jnp.where(m, rowf - mr[lab], 0.0)
         dc = jnp.where(m, colf - mc[lab], 0.0)
         return (seg_sum(dr * dr, lab), seg_sum(dr * dc, lab), seg_sum(dc * dc, lab))
 
-    c_rr, c_rc, c_cc = jax.vmap(level_c2_fixed)(labels, masks_flat,
-                                                mean_r_full, mean_c_full)
+    c_rr, c_rc, c_cc = jax.vmap(level_c2)(labels, masks_flat,
+                                          mean_r_full, mean_c_full)
 
     def gather(a):  # (L, S+1) -> (L, K)
         return jnp.take_along_axis(a, jnp.minimum(rep, S), axis=1)
@@ -279,19 +270,26 @@ def make_keys(tab: dict, bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
     roi_pad = int(math.ceil(cfg.roi_radius + 1))
     h_gate = cfg.lv_grads[DIST_BIN_LAYERS[0]]
 
-    # compact the above-gate pixel pool to a fixed size
+    # Compact the above-gate pixel pool to a fixed size. Under overflow
+    # (dense scenes exceeding pix_pool cells) keep the pixels with the
+    # highest ring weight (#levels exceeded) — they dominate the histogram —
+    # instead of the raster-order head; the contraction is a sum, so when
+    # everything fits the kept SET (and thus the keys) is unchanged. The
+    # drop count surfaces as ScanDesc.pix_overflow -> counters overflow_pix.
+    from contour_context_tpu.ops.candidate import select_topk_stable
+
     n_pool = min(cfg.pix_pool, S)
     pvalid = bev > h_gate
-    order = jnp.argsort(~pvalid, stable=True)[:n_pool]
-    p_ok = pvalid[order]
+    full_higher = jnp.zeros(S, jnp.float32)
+    for ele in range(DIST_BIN_LAYERS[0], L):
+        full_higher += (bev > cfg.lv_grads[ele]).astype(jnp.float32)
+    order, p_ok, _, pix_overflow = select_topk_stable(
+        -full_higher, pvalid, n_pool)
     p_r = (order // nc).astype(jnp.int32)
     p_c = (order % nc).astype(jnp.int32)
     p_rowf = rowf[order]
     p_colf = colf[order]
-    p_h = bev[order]
-    higher = jnp.zeros(n_pool, jnp.float32)
-    for ele in range(DIST_BIN_LAYERS[0], L):
-        higher += (p_h > cfg.lv_grads[ele]).astype(jnp.float32)
+    higher = jnp.where(p_ok, full_higher[order], 0.0)
 
     # anchors: (L, A)
     cnt = tab["cnt"][:, :A]
@@ -353,7 +351,7 @@ def make_keys(tab: dict, bev: jnp.ndarray, rowf: jnp.ndarray, colf: jnp.ndarray,
         ring.reshape(L, A, num_bins),
     ], axis=-1)
     keys = jnp.where(anch_valid[..., None], keys, 0.0)
-    return keys.astype(jnp.float32), anch_valid
+    return keys.astype(jnp.float32), anch_valid, pix_overflow
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +464,7 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
     labels = cc_labels(masks)
     tab = component_tables(labels, masks.reshape(cfg.n_levels, -1),
                            bev, rowf, colf, cfg)
-    keys, anch_valid = make_keys(tab, bev, rowf, colf, cfg)
+    keys, anch_valid, pix_overflow = make_keys(tab, bev, rowf, colf, cfg)
     if cfg.keys_bf16:
         # halves the HBM traffic of the city-scale key search (the measured
         # bottleneck at 100k+ archived scans); the ~0.4% relative rounding
@@ -484,4 +482,5 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
         keys=keys, nei_valid=bci["nei_valid"], nei_level=bci["nei_level"],
         nei_seq=bci["nei_seq"], nei_bit=bci["nei_bit"], nei_theta=bci["nei_theta"],
         gmm_mask=gmm_mask, auto_corr=auto_corr,
+        pix_overflow=pix_overflow,
     )

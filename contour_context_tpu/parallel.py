@@ -45,6 +45,10 @@ def sharded_search(db_keys, q_keys, searchable_n,
     """
     lv = jnp.array(q_levels, jnp.int32)
     A = db_keys.shape[2]
+    # small shards can hold fewer rows than the k bound (single-chip twin
+    # clamps identically in db._search_impl)
+    n_dev = mesh.devices.size
+    nnk = min(nnk, (db_keys.shape[0] // n_dev) * A)
 
     def local(db_rows, q, n_searchable):
         # db_rows: (N_loc, L, A, D) local shard

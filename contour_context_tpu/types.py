@@ -44,3 +44,5 @@ class ScanDesc(NamedTuple):
     # GMM summary over the correlation levels (correlation.h:49-122)
     gmm_mask: jnp.ndarray     # (L, K) bool    95%-area prefix per level
     auto_corr: jnp.ndarray    # () f32         self L2 inner product
+    # kept LAST for checkpoint compatibility (leaves are saved by position)
+    pix_overflow: jnp.ndarray  # () int32  ring-key pixels beyond cfg.pix_pool
