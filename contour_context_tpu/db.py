@@ -882,18 +882,27 @@ class ContourDB:
     # fetches device data — on tunneled runtimes do it only after the
     # streaming epoch (the first D2H degrades the process; see README).
 
-    def save(self, path: str) -> None:
-        """Serialize the populated rows + window state + metadata to .npz."""
+    def save(self, path: str, since: int = 0) -> None:
+        """Serialize rows [since:n] + window state + metadata to .npz.
+
+        `since > 0` writes a DELTA checkpoint holding only the rows appended
+        after a previous save — O(new rows) instead of an O(N) rewrite of a
+        multi-GB city-scale store. Restore a base + deltas chain with
+        `load_chain`; each file records its `since` so contiguity is
+        verifiable. A full save is the `since=0` special case."""
         assert self.store is not None, "empty DB"
         n = self.n
-        host_store = _device_fetch(jax.tree.map(lambda a: a[:n], self.store))
+        assert 0 <= since <= n, (since, n)
+        host_store = _device_fetch(
+            jax.tree.map(lambda a: a[since:n], self.store))
         state = np.asarray(_device_fetch(self.state))
-        ts_store = np.asarray(_device_fetch(self.ts_store))[:n]
+        ts_store = np.asarray(_device_fetch(self.ts_store))[since:n]
         arrays = {f"store_{i}": leaf
                   for i, leaf in enumerate(jax.tree.leaves(host_store))}
         np.savez_compressed(
-            path, n=n, capacity=self.capacity, state=state, ts_store=ts_store,
-            seq_of_gidx=np.asarray(self.seq_of_gidx, np.int64),
+            path, n=n, since=since, capacity=self.capacity, state=state,
+            ts_store=ts_store,
+            seq_of_gidx=np.asarray(self.seq_of_gidx[since:], np.int64),
             # ts_store is the authoritative per-row timestamp record (the
             # host list is empty on the device-resident upload path)
             ts=ts_store.astype(np.float64),
@@ -906,9 +915,27 @@ class ContourDB:
     def load(cls, path: str, cfg: PipelineConfig,
              capacity: Optional[int] = None) -> "ContourDB":
         """Restore a DB checkpoint; capacity may be grown on load."""
-        z = np.load(path)
-        n = int(z["n"])
-        cap = capacity or int(z["capacity"])
+        return cls.load_chain([path], cfg, capacity=capacity)
+
+    @classmethod
+    def load_chain(cls, paths: List[str], cfg: PipelineConfig,
+                   capacity: Optional[int] = None) -> "ContourDB":
+        """Restore a base checkpoint + delta chain (save(path, since=k)).
+
+        Files must be contiguous: the first has since=0, each next file's
+        `since` equals the previous file's row count `n`. Window state,
+        counters and capacity come from the LAST file (the newest snapshot
+        of the stream)."""
+        zs = [np.load(p) for p in paths]
+        sinces = [int(z["since"]) if "since" in z.files else 0 for z in zs]
+        ns = [int(z["n"]) for z in zs]
+        assert sinces[0] == 0, "first file of a chain must be a full save"
+        for k in range(1, len(zs)):
+            assert sinces[k] == ns[k - 1], (
+                f"chain gap: {paths[k]} starts at row {sinces[k]}, previous "
+                f"file ends at {ns[k - 1]}")
+        n = ns[-1]
+        cap = capacity or max(int(zs[-1]["capacity"]), n)
         assert cap >= n, "capacity smaller than stored rows"
         db = cls(cfg, capacity=cap)
         # migrate old checkpoints: leaves saved by position, so fields ADDED
@@ -921,28 +948,35 @@ class ContourDB:
             lambda p: build_descriptor(p, cfg.cm, cfg.gmm),
             jax.ShapeDtypeStruct((cfg.cm.max_points, 4), jnp.float32))
         cur_leaves = jax.tree.leaves(current)
-        leaves = [z[f"store_{i}"] if f"store_{i}" in z.files
-                  else np.zeros((n,) + cur_leaves[i].shape, cur_leaves[i].dtype)
-                  for i in range(len(ScanDesc._fields))]
+        leaves = []
+        for i in range(len(ScanDesc._fields)):
+            parts = [z[f"store_{i}"] if f"store_{i}" in z.files
+                     else np.zeros((e - s,) + cur_leaves[i].shape,
+                                   cur_leaves[i].dtype)
+                     for z, s, e in zip(zs, sinces, ns)]
+            leaves.append(np.concatenate(parts, axis=0) if len(parts) > 1
+                          else parts[0])
         treedef = jax.tree.structure(ScanDesc(*ScanDesc._fields))
         host_store = jax.tree.unflatten(treedef, leaves)
         db.store = jax.tree.map(
             lambda a, cur: jnp.zeros((cap,) + a.shape[1:], cur.dtype)
             .at[:n].set(a.astype(cur.dtype)),
             host_store, current)
-        db.ts_store = jnp.zeros((cap,), jnp.float32).at[:n].set(z["ts_store"])
-        db.state = jnp.asarray(z["state"], jnp.int32)
+        ts_full = np.concatenate([np.asarray(z["ts_store"]) for z in zs])
+        db.ts_store = jnp.zeros((cap,), jnp.float32).at[:n].set(ts_full)
+        db.state = jnp.asarray(zs[-1]["state"], jnp.int32)
         db.n = n
-        db.seq_of_gidx = [int(x) for x in z["seq_of_gidx"]]
-        db.ts = [float(x) for x in z["ts"]]
+        db.seq_of_gidx = [int(x) for z in zs for x in z["seq_of_gidx"]]
+        db.ts = [float(t) for t in ts_full]
         # counters map by name (counter_keys); legacy checkpoints predate the
         # key list and used the then-current 8 sorted names
+        z_last = zs[-1]
         legacy = ["cand_aft_check1", "cand_aft_check2", "cand_aft_check3",
                   "n_hints", "overflow_cand", "overflow_hints",
                   "overflow_pass", "overflow_pot"]
-        keys = ([str(k) for k in z["counter_keys"]] if "counter_keys" in z.files
-                else legacy)
-        for k, v in zip(keys, z["counters"]):
+        keys = ([str(k) for k in z_last["counter_keys"]]
+                if "counter_keys" in z_last.files else legacy)
+        for k, v in zip(keys, z_last["counters"]):
             if k in db.counters:
                 db.counters[k] = int(v)
         return db

@@ -462,7 +462,10 @@ def check_constell_corresp_sim(src: OracleScan, tgt: OracleScan, cstl_in,
             if np.linalg.norm(cs) > cur_norm:
                 shaft_src = cs / np.linalg.norm(cs)
                 ctv = tgt.cont_views[li][ti].pos_mean - tgt.cont_views[lj][tj].pos_mean
-                shaft_tgt = ctv / np.linalg.norm(ctv)
+                with np.errstate(invalid="ignore"):
+                    # coincident tgt means -> nan shaft, faithfully failing
+                    # the orientation screen like the reference's normalized()
+                    shaft_tgt = ctv / np.linalg.norm(ctv)
                 cur_norm = 1.0
 
     # orientation screen with swap-removal (contour_mng.h:1186-1201)

@@ -165,3 +165,59 @@ def test_merge_sessions_serving_map(tmp_path):
                    cfg.cm.max_points), cfg.cm, cfg.gmm)
     r2 = merged.query_ranged_knn(q2)
     assert r2 is not None and merged.session_of_gidx[r2[0]][0] == 0
+
+
+def test_delta_checkpoint_chain(tmp_path):
+    """save(since=k) writes only the new rows; load_chain restores the
+    stream exactly (same query results and window state as a full save)."""
+    import jax
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+
+    db = ContourDB(cfg, capacity=16)
+
+    def add(i):
+        pts = render_scan(world, (10.0 * i, 0.0, 0.0), seed=500 + i)
+        d = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                             cfg.cm, cfg.gmm)
+        db.add_scan(d, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+
+    for i in range(4):
+        add(i)
+    base = str(tmp_path / "base.npz")
+    db.save(base)
+    for i in range(4, 8):
+        add(i)
+    delta = str(tmp_path / "delta.npz")
+    db.save(delta, since=4)
+
+    # the delta holds only 4 rows
+    zd = np.load(delta)
+    assert int(zd["since"]) == 4 and zd["store_0"].shape[0] == 4
+
+    full = str(tmp_path / "full.npz")
+    db.save(full)
+
+    db_chain = ContourDB.load_chain([base, delta], cfg)
+    db_full = ContourDB.load(full, cfg)
+    assert db_chain.n == db_full.n == 8
+    np.testing.assert_array_equal(np.asarray(db_chain.state),
+                                  np.asarray(db_full.state))
+    np.testing.assert_array_equal(
+        np.asarray(db_chain.ts_store), np.asarray(db_full.ts_store))
+
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   cfg.cm.max_points), cfg.cm, cfg.gmm)
+    r_c = db_chain.query_ranged_knn(q)
+    r_f = db_full.query_ranged_knn(q)
+    assert r_c is not None and r_f is not None
+    assert r_c[0] == r_f[0] and db_chain.seq_of_gidx[r_c[0]] == 1
+    np.testing.assert_allclose(r_c[1], r_f[1], rtol=1e-6)
+
+    # gap detection
+    import pytest
+    with pytest.raises(AssertionError, match="chain gap"):
+        ContourDB.load_chain([base, base], cfg)
