@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--max-points", type=int, default=65536)
     ap.add_argument("--block", type=int, default=0,
                     help="replay in blocks of B scans (throughput mode)")
+    ap.add_argument("--dynamic-thres", action="store_true",
+                    help="enable the reference's DYNAMIC_THRES compile "
+                         "flag behavior (rising lower bounds)")
     ap.add_argument("--mulran", action="store_true",
                     help="MulRan operating point (taller structures, "
                          "lv_grads (1,2.5,...,8.5), ta_h_bar 0.75)")
@@ -108,6 +111,9 @@ def main():
             base, cm=dataclasses.replace(base.cm, max_points=args.max_points))
     else:
         cfg = PipelineConfig(cm=ContourManagerConfig(max_points=args.max_points))
+    if args.dynamic_thres:
+        cfg = dataclasses.replace(
+            cfg, db=dataclasses.replace(cfg.db, dynamic_thres=True))
     f_outcome = os.path.join(args.out_dir, "outcome-synth.txt")
 
     from contour_context_tpu.eval.evaluator import ContLCDEvaluator
