@@ -626,6 +626,31 @@ class BlockHandle:
         return self._host
 
 
+def drain_block_handles(handles) -> None:
+    """Fetch many BlockHandles' records with ONE device concat + ONE copy.
+
+    Per-handle get() pays one 6-25 ms link round trip EACH on the tunnel; a
+    blocked replay drains hundreds of handles at stream end. Handles already
+    fetched keep their cached results. After this call, h.get() is free."""
+    live = [h for h in handles if h is not None and h._host is None]
+    if not live:
+        return
+    if len(live) == 1:
+        live[0].get()
+        return
+    mat = np.asarray(_device_fetch(jnp.concatenate([h.recs for h in live])))
+    ofs = 0
+    for h in live:
+        B = h.recs.shape[0]
+        out = []
+        for row in mat[ofs:ofs + B]:
+            rec = _unpack_record(row)
+            h._db._accumulate_counters(rec, h._counters)
+            out.append((rec.gidx, rec.corr, rec.T) if rec.found else None)
+        h._host = out
+        ofs += B
+
+
 def drain_handles(handles) -> list:
     """Fetch a block of QueryHandles with one device-side stack + ONE copy.
 

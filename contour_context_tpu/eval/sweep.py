@@ -159,7 +159,11 @@ def run_sweep_id(root: str, runid: int, fpath_pose: str, fpath_laser: str,
 
     base = cfg_base or PipelineConfig()
     lb, ub = load_check_thres(f_cfg, base.thres_lb, base.thres_ub)
-    cfg = dataclasses.replace(base, thres_lb=lb, thres_ub=ub)
+    # the reference sweep classifies TFPN at the fixed evaluator threshold
+    # 0.76543 (batch_para_bin_test.cpp:34), NOT the yaml correlation_thres —
+    # brief files are only grid-comparable at the same fixed threshold
+    cfg = dataclasses.replace(base, thres_lb=lb, thres_ub=ub,
+                              correlation_thres=0.76543)
 
     from contour_context_tpu.pipeline import run_batch
     pipe = run_batch(fpath_pose, fpath_laser, f_outcome, cfg=cfg,

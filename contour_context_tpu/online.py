@@ -56,8 +56,10 @@ class OnlineSpinner:
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._paused = threading.Event()
         self._terminate = threading.Event()
+        self._eos = threading.Event()
         self._pending: list = []
         self._thread: Optional[threading.Thread] = None
+        self.error: Optional[BaseException] = None
 
     # -- control (the /cont2_status analog) --------------------------------
 
@@ -101,20 +103,19 @@ class OnlineSpinner:
     def finish(self) -> None:
         """Signal end-of-stream and wait for the spinner to drain.
 
-        Never blocks forever: if the spinner already terminated with a full
-        feed queue, the blocking put would deadlock the caller — poll with a
-        timeout and bail once the spin thread is gone."""
-        while True:
-            try:
-                self._q.put(None, timeout=0.2)
-                break
-            except queue.Full:
-                if self._terminate.is_set() or (
-                        self._thread is not None
-                        and not self._thread.is_alive()):
-                    break
+        Never blocks: end-of-stream is an event the spin loop checks (even
+        while paused), not only a queue sentinel, so a full queue or a
+        paused/dead spinner cannot deadlock the caller. Re-raises any error
+        that killed the spin thread (e.g. a device failure mid-stream)."""
+        self._eos.set()
+        try:
+            self._q.put_nowait(None)     # wake a blocked get() promptly
+        except queue.Full:
+            pass
         if self._thread is not None:
             self._thread.join()
+        if self.error is not None:
+            raise self.error
 
     # -- the spin loop --------------------------------------------------------
 
@@ -137,19 +138,33 @@ class OnlineSpinner:
                 self.on_loop(det)
 
     def spin(self) -> None:
-        """Process the queue until terminate or end-of-stream."""
+        """Process the queue until terminate or end-of-stream.
+
+        Any exception (device failures included) is recorded in self.error
+        and re-raised by finish() — a dying daemon thread must not look like
+        a clean, merely-short stream."""
+        try:
+            self._spin_impl()
+        except BaseException as e:      # noqa: BLE001 — forwarded to finish()
+            self.error = e
+
+    def _spin_impl(self) -> None:
         import jax
 
         cfg = self.cfg
         while not self._terminate.is_set():
             self._poll_control_file()
             if self._paused.is_set():
+                if self._eos.is_set():
+                    break               # end-of-stream overrides pause
                 import time as _t
                 _t.sleep(0.02)
                 continue
             try:
                 item = self._q.get(timeout=0.05)
             except queue.Empty:
+                if self._eos.is_set():
+                    break
                 continue
             if item is None:
                 break

@@ -10,7 +10,6 @@ time in scan order.  Produces an outcome file scored by eval/pr_mpe.
 
 from __future__ import annotations
 
-import math
 from collections import deque
 from dataclasses import dataclass
 from typing import Callable, List, Optional
@@ -18,10 +17,12 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from contour_context_tpu.config import PipelineConfig
-from contour_context_tpu.db import ContourDB, QueryHandle, drain_handles
+from contour_context_tpu.db import (ContourDB, QueryHandle,
+                                    drain_block_handles, drain_handles)
 from contour_context_tpu.eval.evaluator import ContLCDEvaluator
 from contour_context_tpu.ops.descriptor import build_descriptor
 from contour_context_tpu.utils.io import pad_points
+from contour_context_tpu.utils.se2 import se2_mat
 from contour_context_tpu.utils.profiling import SequentialTimeProfiler
 
 DRAIN_BLOCK = 4096   # pending-record bound before a mid-stream drain
@@ -30,11 +31,6 @@ DRAIN_BLOCK = 4096   # pending-record bound before a mid-stream drain
 # so the pipeline holds the tiny (16-float) records on device and drains once
 # at the end of the stream. Use OnlineSpinner when per-scan results are needed
 # live.
-
-
-def se2_mat_from_params(T3: np.ndarray) -> np.ndarray:
-    c, s = math.cos(T3[2]), math.sin(T3[2])
-    return np.array([[c, -s, T3[0]], [s, c, T3[1]], [0.0, 0.0, 1.0]])
 
 
 @dataclass
@@ -112,7 +108,7 @@ class LoopClosurePipeline:
             gidx, corr, T3 = res
             cand_seq = self.db.seq_of_gidx[gidx]
             pred = self.evaluator.add_prediction(info.seq, corr, cand_seq,
-                                                 se2_mat_from_params(T3),
+                                                 se2_mat(T3[0], T3[1], T3[2]),
                                                  cfg.cm.n_row, cfg.cm.n_col,
                                                  cfg.cm.reso_row,
                                                  cfg.cm.reso_col)
@@ -123,8 +119,11 @@ class LoopClosurePipeline:
         batch = [self._pending.popleft() for _ in range(k)]
         scalars = [h for info, h in batch if not isinstance(info, list)]
         scal_res = iter(drain_handles(scalars))
+        # all block records leave the device as ONE stacked copy; the
+        # per-handle get() below then reads the cached host rows
+        drain_block_handles([h for info, h in batch if isinstance(info, list)])
         for info, h in batch:
-            if isinstance(info, list):     # a processed block: one fetch
+            if isinstance(info, list):     # a processed block
                 for i, res in zip(info, h.get()):
                     self._process(i, res)
             else:
@@ -143,7 +142,7 @@ class LoopClosurePipeline:
         self._spin_info(ev.curr_scan)
         return True
 
-    def _spin_info(self, info) -> None:
+    def _spin_info(self, info, prefetch: bool = True) -> None:
         """Per-scan step for one LaserScanInfo (cursor already advanced)."""
         import jax
 
@@ -160,7 +159,7 @@ class LoopClosurePipeline:
         else:
             dev_pts, dev_ts = self._upload(info)
         self._prefetched = None
-        nxt = ev.peek_next()
+        nxt = ev.peek_next() if prefetch else None
         if nxt is not None:
             self._prefetched = (nxt.seq, self._upload(nxt))
         if self.fused_step:
@@ -234,9 +233,11 @@ class LoopClosurePipeline:
                 break
             if len(infos) < block:
                 # tail shorter than a block: per-scan path (padding with
-                # duplicate scans would pollute the searchable store)
+                # duplicate scans would pollute the searchable store).
+                # prefetch off: the cursor is past the tail, so peek_next
+                # would re-upload an unrelated scan once per tail scan
                 for info in infos:
-                    self._spin_info(info)
+                    self._spin_info(info, prefetch=False)
                 n_done += len(infos)
                 break
             self.stp.lap()
@@ -301,10 +302,14 @@ class LoopClosurePipeline:
         while self.spin_once():
             n += 1
             if progress_every and n % progress_every == 0:
+                # results populate only at drain (records stay on device to
+                # keep the stream fetch-free) — report the pending depth so
+                # all-zero counts aren't mistaken for "no loops found"
                 tp = sum(1 for r in self.results if r.tfpn == 0)
                 fp = sum(1 for r in self.results if r.tfpn == 1)
                 fn = sum(1 for r in self.results if r.tfpn == 3)
-                print("[%d] tp=%d fp=%d fn=%d" % (n, tp, fp, fn), flush=True)
+                print("[%d] drained: tp=%d fp=%d fn=%d (pending on device: %d)"
+                      % (n, tp, fp, fn, len(self._pending)), flush=True)
             if max_scans is not None and n >= max_scans:
                 break
         self.drain()

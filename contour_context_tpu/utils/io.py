@@ -142,7 +142,10 @@ def associate_scans_with_gt(
         pos = np.stack([s.sens_pose[:3, 3] for s in infos])
         ts = np.array([s.ts for s in infos])
         for i in range(len(infos)):
-            elig = ts < ts[i] - min_time_excl
+            # boundary-INCLUSIVE like the reference (evaluator.h:247 breaks
+            # on ts_fast < ts_slow + excl, so ts_slow == ts_fast - excl is an
+            # eligible partner) — exact-ts reindexed datasets hit this
+            elig = ts <= ts[i] - min_time_excl
             if not elig.any():
                 continue
             d = np.linalg.norm(pos[elig] - pos[i], axis=1)

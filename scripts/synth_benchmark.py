@@ -74,7 +74,6 @@ def main():
 
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
     from contour_context_tpu.eval.pr_mpe import score_outcome
-    from contour_context_tpu.pipeline import run_batch
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
@@ -129,6 +128,10 @@ def main():
         # otherwise falls back to the per-scan path and compiles mid-timing)
         n_warm = min(3 * args.block, args.scans // 2)
         n_warm = args.scans - ((args.scans - n_warm) // args.block) * args.block
+        if args.scans - n_warm < args.block:
+            ap.error("--scans %d too small for --block %d (timed epoch would "
+                     "be empty after the %d-scan warm-up); use >= %d scans"
+                     % (args.scans, args.block, n_warm, 5 * args.block))
         # warm-up compiles WITHOUT draining (a D2H fetch would degrade the
         # tunneled runtime for the timed phase)
         pipe.run_blocked(block=args.block, max_scans=n_warm,
