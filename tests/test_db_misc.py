@@ -321,3 +321,26 @@ def test_dense_pair_maps_first_insert_wins():
     np.testing.assert_allclose(float(perc[0, dup_id]), 0.10)   # first wins
     np.testing.assert_allclose(float(perc[0, other_id]), 0.20)
     assert float(perc.sum()) == np.float32(0.10 + 0.20)
+
+
+@pytest.mark.slow
+def test_drain_after_get_no_double_count():
+    """drain_handles must not re-accumulate counters for handles whose
+    results were already fetched via get() (review regression)."""
+    from contour_context_tpu.db import drain_handles
+
+    world, descs = _descs(6)
+    db = ContourDB(CFG, capacity=8)
+    for i, d in enumerate(descs):
+        db.add_scan(d, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   CFG.cm.max_points), CFG.cm, CFG.gmm)
+    h = db.query_async(q)
+    first = h.get()
+    counters_after_get = dict(db.counters)
+    assert counters_after_get["n_hints"] > 0
+    res = drain_handles([h, None])
+    assert res[0] == first and res[1] is None
+    assert db.counters == counters_after_get

@@ -157,3 +157,39 @@ def test_read_oxts_poses(tmp_path):
     # T_w_velod = T_w_imu @ inv(T_imu_velod): t = t_imu - R1 @ t_iv
     expect_t = np.array([dx, 0.0, 0.5]) - R1 @ np.array([0.5, 0.0, -0.2])
     np.testing.assert_allclose(poses[1][:3, 3], expect_t, atol=1e-9)
+
+
+def test_finish_while_paused_does_not_deadlock():
+    """finish() must return even when the spinner is paused with a full
+    feed queue (end-of-stream overrides pause)."""
+    import numpy as np
+
+    from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+    from contour_context_tpu.online import OnlineSpinner
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=2048))
+    sp = OnlineSpinner(cfg, capacity=8, queue_depth=2)
+    sp.start()
+    sp.pause()
+    pts = np.zeros((100, 3), np.float32)
+    while sp.feed(pts, 0, 0.0, timeout=0.05):   # fill the queue
+        pass
+    sp.finish()                                  # must not hang
+    assert sp._thread is not None and not sp._thread.is_alive()
+
+
+def test_spin_error_reraised_by_finish():
+    """An exception on the spin thread surfaces in finish() instead of a
+    silently truncated stream."""
+    import pytest
+
+    from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+    from contour_context_tpu.online import OnlineSpinner
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=2048))
+    sp = OnlineSpinner(cfg, capacity=8)
+    sp.start()
+    sp.feed("not a point cloud", 0, 0.0)        # raises inside spin
+    with pytest.raises(Exception):
+        sp.finish()
+    assert sp.error is not None
