@@ -1024,6 +1024,11 @@ class ContourDB:
         (session index, original seq)."""
         dbs = [db for db in dbs if db.store is not None and db.n > 0]
         assert dbs, "nothing to merge"
+        shapes = {jax.tree.map(lambda a: (a.shape[1:], str(a.dtype)),
+                               db.store) for db in dbs}
+        assert len(shapes) == 1, (
+            "sessions were built with different configs (store row layouts "
+            "differ) — rebuild with one ContourManagerConfig before merging")
         n_total = sum(db.n for db in dbs)
         cap = capacity or n_total
         assert cap >= n_total, "capacity smaller than merged rows"
