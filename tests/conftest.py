@@ -24,6 +24,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 import jax  # noqa: E402  (may already be imported by sitecustomize)
 
+# CONT2_TEST_PLATFORM=axon runs the suite on the tunneled TPU chip (the
+# plugin platform is named "axon", not "tpu", on this harness)
 jax.config.update("jax_platforms",
                   os.environ.get("CONT2_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_compilation_cache_dir",
