@@ -345,9 +345,11 @@ class QueryRecord(NamedTuple):
     #                                 exceeded cascade.P_MAX-1 (pairs dropped)
     overflow_pix: jnp.ndarray    # () int32 query ring-key pixels beyond
     #                                 cfg.cm.pix_pool (weakest-weight dropped)
+    overflow_gmm: jnp.ndarray    # () int32 query 95%-area GMM ellipses beyond
+    #                                 max_gmm_ellipses (dropped from corr)
 
 
-RECORD_WIDTH = 18   # packed record floats (17 used; ints exact in f32 < 2^24)
+RECORD_WIDTH = 18   # packed record floats (all used; ints exact in f32 < 2^24)
 
 
 def _pack_record(rec: QueryRecord) -> jnp.ndarray:
@@ -359,8 +361,7 @@ def _pack_record(rec: QueryRecord) -> jnp.ndarray:
                    f32(rec.aft3), f32(rec.n_cand), f32(rec.overflow_hints),
                    f32(rec.overflow_pass), f32(rec.overflow_cand),
                    f32(rec.overflow_pot), f32(rec.overflow_win),
-                   f32(rec.overflow_pix)]),
-        jnp.zeros(RECORD_WIDTH - 17, jnp.float32),
+                   f32(rec.overflow_pix), f32(rec.overflow_gmm)]),
     ])
 
 
@@ -372,7 +373,8 @@ def _unpack_record(v: np.ndarray) -> QueryRecord:
         aft2=int(v[8]), aft3=int(v[9]), n_cand=int(v[10]),
         overflow_hints=int(v[11]), overflow_pass=int(v[12]),
         overflow_cand=int(v[13]), overflow_pot=int(v[14]),
-        overflow_win=int(v[15]), overflow_pix=int(v[16]))
+        overflow_win=int(v[15]), overflow_pix=int(v[16]),
+        overflow_gmm=int(v[17]))
 
 
 def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
@@ -468,6 +470,7 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
         overflow_pot=jnp.sum(res.pot_overflow & hv).astype(jnp.int32),
         overflow_win=jnp.sum(res.win_overflow & hv).astype(jnp.int32),
         overflow_pix=jnp.asarray(query.pix_overflow, jnp.int32),
+        overflow_gmm=jnp.asarray(query.gmm_overflow, jnp.int32),
     ))
 
 
@@ -798,7 +801,7 @@ class ContourDB:
         return dict(n_hints=0, cand_aft_check1=0, cand_aft_check2=0,
                     cand_aft_check3=0, overflow_hints=0,
                     overflow_pass=0, overflow_cand=0, overflow_pot=0,
-                    overflow_win=0, overflow_pix=0)
+                    overflow_win=0, overflow_pix=0, overflow_gmm=0)
 
     def _accumulate_counters(self, rec, which: str = "counters") -> None:
         c = getattr(self, which)
@@ -812,6 +815,7 @@ class ContourDB:
         c["overflow_pot"] += int(rec.overflow_pot)
         c["overflow_win"] += int(rec.overflow_win)
         c["overflow_pix"] += int(rec.overflow_pix)
+        c["overflow_gmm"] += int(rec.overflow_gmm)
 
     # -- maintenance ------------------------------------------------------
 

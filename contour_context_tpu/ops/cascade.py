@@ -146,9 +146,12 @@ def run_cascade(
     close = (jnp.abs(src_nei["bit"][:, :, None] - tgt_nei["bit"][:, None, :]) <= 1) \
         & src_nei["valid"][:, :, None] & tgt_nei["valid"][:, None, :]
     orie = _clamp_ang(tgt_nei["theta"][:, None, :] - src_nei["theta"][:, :, None])
-    orie = jnp.where(close, orie, jnp.inf).reshape(H, M * M)
-    p_src_slot = jnp.broadcast_to(jnp.arange(M)[None, :, None], (H, M, M)).reshape(H, M * M)
-    p_tgt_slot = jnp.broadcast_to(jnp.arange(M)[None, None, :], (H, M, M)).reshape(H, M * M)
+    # flatten in the reference's insertion order — tgt-outer, src-inner
+    # (contour_mng.h:311-334 iterates tgt neighbors then bit-adjacent src) —
+    # so stable sort ties resolve exactly like the sequential list sort
+    orie = jnp.where(close, orie, jnp.inf).transpose(0, 2, 1).reshape(H, M * M)
+    p_src_slot = jnp.broadcast_to(jnp.arange(M)[None, None, :], (H, M, M)).reshape(H, M * M)
+    p_tgt_slot = jnp.broadcast_to(jnp.arange(M)[None, :, None], (H, M, M)).reshape(H, M * M)
 
     pot_overflow = jnp.sum(close.reshape(H, -1), axis=1) > P_POT
     order = jnp.argsort(orie, axis=1)[:, :P_POT]
@@ -161,8 +164,8 @@ def run_cascade(
     #   count = ss(v, v_i + rng, right) - i + ss(v, v_i + rng - 2pi, right)
     def window_counts(vals, n):
         hi = vals + ANG_RANGE
-        c_main = jax.vmap(lambda t: jnp.searchsorted(vals, t, side="right"))(hi)
-        c_wrap = jax.vmap(lambda t: jnp.searchsorted(vals, t, side="right"))(hi - 2 * math.pi)
+        c_main = jnp.searchsorted(vals, hi, side="right")
+        c_wrap = jnp.searchsorted(vals, hi - 2 * math.pi, side="right")
         idx = jnp.arange(vals.shape[0])
         cnt = jnp.minimum(c_main, n) - idx + jnp.minimum(c_wrap, n)
         return jnp.where(idx < n, cnt, 0)
@@ -170,8 +173,12 @@ def run_cascade(
     counts = jax.vmap(window_counts)(sv, n_pot)               # (H, P_POT)
     longest = jnp.maximum(jnp.max(counts, axis=1), 1).astype(jnp.int32)
     best_beg = jnp.argmax(counts, axis=1).astype(jnp.int32)
-    in_ang = jnp.where(n_pot > 0, longest, 1)
-    pass2 = pass1 & gate2 & (in_ang >= thres_lb.sim_constell.i_in_ang_rng)
+    # no bit-adjacent pairs -> the reference's window count is 0 and check 2
+    # fails unconditionally (the window extraction below would otherwise
+    # fabricate a member from the all-inf sort)
+    in_ang = jnp.where(n_pot > 0, longest, 0)
+    pass2 = pass1 & gate2 & (n_pot > 0) & \
+        (in_ang >= thres_lb.sim_constell.i_in_ang_rng)
 
     # window members -> fixed (H, P_MAX) constellation, anchor pair appended
     win_pos = (best_beg[:, None] + jnp.arange(P_MAX - 1)[None, :])
@@ -252,17 +259,23 @@ def run_cascade(
     hidx = jnp.arange(H)
     sh_s = mean_s[hidx, i_slot] - mean_s[hidx, j_slot]
     sh_t = mean_t[hidx, i_slot] - mean_t[hidx, j_slot]
+    sh_t_norm = jnp.linalg.norm(sh_t, axis=-1)
     sh_s = sh_s / jnp.maximum(jnp.linalg.norm(sh_s, axis=-1, keepdims=True), 1e-12)
-    sh_t = sh_t / jnp.maximum(jnp.linalg.norm(sh_t, axis=-1, keepdims=True), 1e-12)
+    sh_t = sh_t / jnp.maximum(sh_t_norm[:, None], 1e-12)
     sh_s = jnp.where(any_pick[:, None], sh_s, 0.0)
     sh_t = jnp.where(any_pick[:, None], sh_t, 0.0)
+    # a zero-length tgt span makes the reference's normalized() NaN: every
+    # theta comparison is then false, so NO pair is removed (oracle parity);
+    # the clamped division above would instead yield th_t = pi/2 and remove
+    tgt_shaft_nan = any_pick & (sh_t_norm <= 1e-12)
 
     # ---- orientation screen (contour_mng.h:1186-1201) -------------------
     th_s = jnp.arccos(jnp.clip(jnp.sum(sh_s[:, None, :] * s["vec1"], axis=-1), -1.0, 1.0))
     th_t = jnp.arccos(jnp.clip(jnp.sum(sh_t[:, None, :] * t["vec1"], axis=-1), -1.0, 1.0))
     both_ecc = s["ecc"] & t["ecc"]
     bad = both_ecc & (jnp.abs(th_s - th_t) > math.pi / 6) \
-        & (jnp.abs(math.pi - th_s - th_t) > math.pi / 6)
+        & (jnp.abs(math.pi - th_s - th_t) > math.pi / 6) \
+        & ~tgt_shaft_nan[:, None]
     cstl2 = cstl1 & ~bad
     i_orie = jnp.sum(cstl2, axis=1).astype(jnp.int32)
     pass3 = pass2 & gate3a & (i_orie >= thres_lb.sim_pair.i_orie_sim)

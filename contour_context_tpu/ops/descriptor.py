@@ -428,16 +428,17 @@ def gmm_summary(tab: dict, gmm_cfg: GMMOptConfig):
     covs = tab["manual_cov"][lev]   # (G, K, 2, 2)
     ws = jnp.where(gmm_mask[lev], cnt[lev], 0.0)
 
-    S = gmm_cfg.cov_dilate_scale * (covs[:, :, None] + covs[:, None, :])
-    det = S[..., 0, 0] * S[..., 1, 1] - S[..., 0, 1] * S[..., 1, 0]
-    dmu = mus[:, :, None] - mus[:, None, :]
-    # closed-form inverse quadratic form
-    q = (S[..., 1, 1] * dmu[..., 0] ** 2 - 2 * S[..., 0, 1] * dmu[..., 0] * dmu[..., 1]
-         + S[..., 0, 0] * dmu[..., 1] ** 2) / jnp.maximum(det, 1e-12)
-    val = ws[:, :, None] * ws[:, None, :] * jax.lax.rsqrt(jnp.maximum(det, 1e-12)) \
-        * jnp.exp(-0.5 * q)
-    auto_corr = val.sum()
-    return gmm_mask, auto_corr.astype(jnp.float32)
+    from contour_context_tpu.ops.gmm import l2_pairwise
+
+    auto_corr = l2_pairwise(mus, covs, ws, mus, covs, ws,
+                            gmm_cfg.cov_dilate_scale).sum()
+    # the serving/query gathers truncate each level's 95%-area prefix at
+    # max_gmm_ellipses; count what that drops so corr skew is diagnosable
+    # (ContourDB.counters overflow_gmm)
+    prefix_n = jnp.sum(gmm_mask[lev], axis=1)
+    gmm_overflow = jnp.sum(jnp.maximum(
+        0, prefix_n - gmm_cfg.max_gmm_ellipses)).astype(jnp.int32)
+    return gmm_mask, auto_corr.astype(jnp.float32), gmm_overflow
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +473,7 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
         # exactly by the check cascade downstream
         keys = keys.astype(jnp.bfloat16)
     bci = make_bcis(tab, anch_valid, cfg)
-    gmm_mask, auto_corr = gmm_summary(tab, gmm_cfg)
+    gmm_mask, auto_corr, gmm_overflow = gmm_summary(tab, gmm_cfg)
     return ScanDesc(
         cnt=tab["cnt"].astype(jnp.int16), valid=tab["valid"], mean=tab["mean"],
         eig_vals=tab["eig_vals"], eig_vecs=tab["eig_vecs"],
@@ -483,4 +484,5 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
         nei_seq=bci["nei_seq"], nei_bit=bci["nei_bit"], nei_theta=bci["nei_theta"],
         gmm_mask=gmm_mask, auto_corr=auto_corr,
         pix_overflow=pix_overflow,
+        gmm_overflow=gmm_overflow,
     )

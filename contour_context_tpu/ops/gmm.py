@@ -30,6 +30,23 @@ class GmmScan(NamedTuple):
     auto_corr: jnp.ndarray  # ()
 
 
+def l2_pairwise(mus1, covs1, ws1, mus2, covs2, ws2, scale: float):
+    """Pairwise GMM L2 kernel values (correlation.h:125-152 inner term):
+    w1_j w2_k / sqrt(det S) exp(-1/2 mu^T S^-1 mu), S = scale*(C1_j + C2_k).
+
+    Shapes (..., K, 2) / (..., K, 2, 2) / (..., K) -> (..., K, K). The ONE
+    implementation shared by the cost functor and the descriptor's
+    auto-correlation (their numeric identity normalizes corr scores)."""
+    S = scale * (covs1[..., :, None, :, :] + covs2[..., None, :, :, :])
+    det = S[..., 0, 0] * S[..., 1, 1] - S[..., 0, 1] * S[..., 1, 0]
+    dmu = mus1[..., :, None, :] - mus2[..., None, :, :]
+    q = (S[..., 1, 1] * dmu[..., 0] ** 2
+         - 2 * S[..., 0, 1] * dmu[..., 0] * dmu[..., 1]
+         + S[..., 0, 0] * dmu[..., 1] ** 2) / jnp.maximum(det, 1e-12)
+    return (ws1[..., :, None] * ws2[..., None, :]
+            * jax.lax.rsqrt(jnp.maximum(det, 1e-12)) * jnp.exp(-0.5 * q))
+
+
 def gmm_from_desc(desc, gmm_cfg: GMMOptConfig) -> GmmScan:
     lev = jnp.array(gmm_cfg.levels, jnp.int32)
     K = gmm_cfg.max_gmm_ellipses   # contours are area-sorted; the gmm_mask's
@@ -68,17 +85,10 @@ def gmm_cost(params: jnp.ndarray, src: GmmScan, tgt: GmmScan,
     # rotated src covs: R C R^T, (G, K, 2, 2)
     RC = jnp.einsum("ab,gkbc->gkac", R, src.covs, precision=jax.lax.Precision.HIGHEST)
     RCRt = jnp.einsum("gkac,bc->gkab", RC, R, precision=jax.lax.Precision.HIGHEST)
-    S = scale * (RCRt[:, :, None] + tgt.covs[:, None, :])     # (G, K, K, 2, 2)
-    det = S[..., 0, 0] * S[..., 1, 1] - S[..., 0, 1] * S[..., 1, 0]
     mu_s = src.mus
-    tx = c * mu_s[..., 0] - s * mu_s[..., 1] + x
-    ty = s * mu_s[..., 0] + c * mu_s[..., 1] + y
-    dx = tx[:, :, None] - tgt.mus[..., 0][:, None, :]
-    dy = ty[:, :, None] - tgt.mus[..., 1][:, None, :]
-    q = (S[..., 1, 1] * dx * dx - 2 * S[..., 0, 1] * dx * dy
-         + S[..., 0, 0] * dy * dy) / jnp.maximum(det, 1e-12)
-    w = src.ws[:, :, None] * tgt.ws[:, None, :]
-    val = w * jax.lax.rsqrt(jnp.maximum(det, 1e-12)) * jnp.exp(-0.5 * q)
+    tmus = jnp.stack([c * mu_s[..., 0] - s * mu_s[..., 1] + x,
+                      s * mu_s[..., 0] + c * mu_s[..., 1] + y], axis=-1)
+    val = l2_pairwise(tmus, RCRt, src.ws, tgt.mus, tgt.covs, tgt.ws, scale)
     return -jnp.sum(jnp.where(sel, val, 0.0))
 
 

@@ -44,5 +44,8 @@ class ScanDesc(NamedTuple):
     # GMM summary over the correlation levels (correlation.h:49-122)
     gmm_mask: jnp.ndarray     # (L, K) bool    95%-area prefix per level
     auto_corr: jnp.ndarray    # () f32         self L2 inner product
-    # kept LAST for checkpoint compatibility (leaves are saved by position)
+    # new fields go LAST for checkpoint compatibility (leaves save by
+    # position; load_chain zero-fills missing trailing leaves)
     pix_overflow: jnp.ndarray  # () int32  ring-key pixels beyond cfg.pix_pool
+    gmm_overflow: jnp.ndarray  # () int32  95%-area GMM ellipses beyond
+    #                            max_gmm_ellipses (dropped from correlation)
