@@ -130,7 +130,13 @@ def test_cascade_fuzz_multi_seed():
 
     cases = [(5, (1.0, -2.0, -0.2), (20, 21)),
              (8, (4.0, 3.0, 0.7), (30, 31)),
-             (13, (0.2, 0.1, 0.02), (40, 41))]
+             (13, (0.2, 0.1, 0.02), (40, 41)),
+             # extra worlds aimed at the edge paths: large rotations
+             # (orientation screen + shaft selection), near-identity pairs
+             # (angle-difference ties), and a dense world (window pressure)
+             (21, (2.5, -1.5, 3.0), (50, 51)),
+             (34, (0.0, 0.0, 0.0), (60, 61)),
+             (55, (-3.0, 2.0, -1.4), (70, 71))]
     for wseed, pose_b, (sa, sb) in cases:
         world = make_world(wseed)
         pts_a = render_scan(world, (0.0, 0.0, 0.0), seed=sa)
