@@ -480,9 +480,9 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
     return _query_step_impl(store, query, state[1], pcfg)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
                    static_argnames=("pcfg",))
-def _scan_step(store: ScanDesc, ts_store, state, points, ts,
+def _scan_step(store: ScanDesc, ts_store, state, recs_store, points, ts,
                pcfg: PipelineConfig):
     """The FULLY fused per-scan streaming step, one dispatch per scan:
 
@@ -493,17 +493,25 @@ def _scan_step(store: ScanDesc, ts_store, state, points, ts,
     vs the 4-dispatch path (build / query / append / window) this removes
     three host->device dispatch round trips per scan — on high-latency
     runtimes dispatch overhead, not compute, dominates the streaming loop.
-    Returns (store', ts_store', state', packed record).
+
+    The packed record is also written into `recs_store` at this scan's row
+    (a donated (capacity, RECORD_WIDTH) ring), so an entire stream's results
+    can later leave the device as ONE contiguous buffer fetch — per-handle
+    fetches through a high-latency link cost ~0.25 s EACH once the process
+    is in post-first-fetch mode (see drain_handles).
+    Returns (store', ts_store', state', recs_store', packed record).
     """
     from contour_context_tpu.ops.descriptor import build_descriptor
 
     desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
     rec = _query_step_impl(store, desc, state[1], pcfg)
+    recs_store = jax.lax.dynamic_update_slice(
+        recs_store, rec[None].astype(recs_store.dtype), (state[0], 0))
     store, ts_store, state = _append_impl(store, ts_store, state, desc, ts)
     tb = pcfg.db.tb
     state = _update_window_impl(state, ts_store, ts, tb.min_elapse,
                                 tb.max_elapse)
-    return store, ts_store, state, rec
+    return store, ts_store, state, recs_store, rec
 
 
 def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
@@ -529,10 +537,10 @@ def _localize_block(store: ScanDesc, state, points_b, pcfg: PipelineConfig):
     return jax.vmap(lambda q: _query_step_impl(store, q, state[1], pcfg))(descs)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
                    static_argnames=("pcfg",))
-def _process_block(store: ScanDesc, ts_store, state, descs: ScanDesc, ts_b,
-                   pcfg: PipelineConfig):
+def _process_block(store: ScanDesc, ts_store, state, recs_store,
+                   descs: ScanDesc, ts_b, pcfg: PipelineConfig):
     """Batched throughput mode: append + query a block of B scans at once.
 
     EXACT sequential parity: the reference's per-scan order is
@@ -543,10 +551,13 @@ def _process_block(store: ScanDesc, ts_store, state, descs: ScanDesc, ts_b,
     query's searchable prefix is replayed with a scan over the window updates,
     and the B queries run under vmap.
 
-    Returns (store', ts_store', state', records (B, RECORD_WIDTH)).
+    Returns (store', ts_store', state', recs_store', records
+    (B, RECORD_WIDTH)); the records are also written into the `recs_store`
+    ring at the block's rows (see _scan_step).
     """
     B = ts_b.shape[0]
     tb = pcfg.db.tb
+    row0 = state[0]
 
     def append_one(carry, x):
         desc, t = x
@@ -566,21 +577,27 @@ def _process_block(store: ScanDesc, ts_store, state, descs: ScanDesc, ts_b,
     recs = jax.vmap(
         lambda q, sn: _query_step_impl(store, q, sn, pcfg),
         in_axes=(0, 0))(descs, searchable_b)
-    return store, ts_store, state, recs
+    recs_store = jax.lax.dynamic_update_slice(
+        recs_store, recs.astype(recs_store.dtype), (row0, 0))
+    return store, ts_store, state, recs_store, recs
 
 
 class QueryHandle:
     """Deferred query result: a packed device record vector not yet fetched.
 
     Fetch one with `get()` (one host round trip) or many with
-    `drain_handles()` (device-side stack + ONE host copy for the whole block —
+    `drain_handles()` (ONE contiguous ring-buffer copy for a whole stream —
     the steady-state pattern; per-transfer latency dominates on tunneled
-    links)."""
+    links). `row` is the scan's row in the DB's device record ring when the
+    handle came from the fused streaming path (step_async); None for
+    standalone queries (query_async), which drain by per-buffer fetch."""
 
-    __slots__ = ("rec", "_db", "_host")
+    __slots__ = ("rec", "row", "_db", "_host")
 
-    def __init__(self, rec: jnp.ndarray, db: "ContourDB"):
+    def __init__(self, rec: jnp.ndarray, db: "ContourDB",
+                 row: Optional[int] = None):
         self.rec = rec          # (RECORD_WIDTH,) f32 on device
+        self.row = row
         self._db = db
         self._host: Optional[QueryRecord] = None
 
@@ -606,56 +623,84 @@ class BlockHandle:
     DB's separate `serving_counters` so serving traffic cannot skew the
     stream's overflow/cascade diagnostics yet stays diagnosable itself."""
 
-    __slots__ = ("recs", "_db", "_host", "_counters")
+    __slots__ = ("recs", "row0", "_db", "_host", "_counters")
 
     def __init__(self, recs: jnp.ndarray, db: "ContourDB",
-                 counters: str = "counters"):
+                 counters: str = "counters", row0: Optional[int] = None):
         self.recs = recs
+        self.row0 = row0    # first ring row (fused append path) or None
         self._db = db
         self._host = None
         self._counters = counters
+
+    def _finish(self, mat) -> None:
+        out = []
+        for row in np.asarray(mat):
+            rec = _unpack_record(row)
+            self._db._accumulate_counters(rec, self._counters)
+            out.append((rec.gidx, rec.corr, rec.T) if rec.found else None)
+        self._host = out
 
     def get(self) -> list:
         """Fetch the block's results: one host copy, list of per-scan
         (gidx, corr, T3) or None, in scan order."""
         if self._host is None:
-            mat = np.asarray(_device_fetch(self.recs))
-            out = []
-            for row in mat:
-                rec = _unpack_record(row)
-                self._db._accumulate_counters(rec, self._counters)
-                out.append((rec.gidx, rec.corr, rec.T) if rec.found else None)
-            self._host = out
+            self._finish(_device_fetch(self.recs))
         return self._host
 
 
-def drain_block_handles(handles) -> None:
-    """Fetch many BlockHandles' records with ONE device concat + ONE copy.
+def _fetch_rings(ring_handles) -> dict:
+    """Fetch each distinct DB's record ring ONCE; returns {id(db): ndarray}.
 
-    Per-handle get() pays one 6-25 ms link round trip EACH on the tunnel; a
-    blocked replay drains hundreds of handles at stream end. Handles already
-    fetched keep their cached results. After this call, h.get() is free."""
+    One contiguous (capacity, RECORD_WIDTH) buffer copy per DB replaces a
+    per-handle (or per-stack-chunk) fetch: measured on the axon tunnel,
+    per-buffer fetches cost ~0.25 s EACH once the process has done its first
+    D2H, and eager jnp.stack chunks cost ~60 s each (arity-N compile + a
+    degraded multi-arg dispatch) — the whole-ring copy is one RPC."""
+    rings = {}
+    for h in ring_handles:
+        key = id(h._db)
+        if key not in rings:
+            rings[key] = np.asarray(_device_fetch(h._db.recs_store))
+    return rings
+
+
+def drain_block_handles(handles) -> None:
+    """Fetch many BlockHandles' records efficiently.
+
+    Ring-backed blocks (process_block_async) read their rows from ONE
+    record-ring copy per DB; standalone blocks (localize_block_async) fetch
+    their own (B, RECORD_WIDTH) buffer in one batched device_get. Handles
+    already fetched keep their cached results. After this, h.get() is free."""
     live = [h for h in handles if h is not None and h._host is None]
     if not live:
         return
-    if len(live) == 1:
-        live[0].get()
-        return
-    mat = np.asarray(_device_fetch(jnp.concatenate([h.recs for h in live])))
-    ofs = 0
-    for h in live:
-        B = h.recs.shape[0]
-        out = []
-        for row in mat[ofs:ofs + B]:
-            rec = _unpack_record(row)
-            h._db._accumulate_counters(rec, h._counters)
-            out.append((rec.gidx, rec.corr, rec.T) if rec.found else None)
-        h._host = out
-        ofs += B
+    ring = [h for h in live
+            if h.row0 is not None and h._db.recs_store is not None]
+    rest = [h for h in live
+            if h.row0 is None or h._db.recs_store is None]
+    if ring:
+        rings = _fetch_rings(ring)
+        for h in ring:
+            B = int(h.recs.shape[0])
+            h._finish(rings[id(h._db)][h.row0:h.row0 + B])
+    if rest:
+        # ONE device_get over the list: every copy is issued async up front,
+        # then awaited together — no compiles, latencies overlap
+        mats = _device_fetch([h.recs for h in rest])
+        for h, mat in zip(rest, mats):
+            h._finish(mat)
 
 
 def drain_handles(handles) -> list:
-    """Fetch a block of QueryHandles with one device-side stack + ONE copy.
+    """Fetch a stream of QueryHandles' results with ONE ring-buffer copy.
+
+    Handles from the fused streaming path (step_async) carry their DB row;
+    their records live in the DB's device record ring, which is fetched ONCE
+    per DB as a single contiguous buffer — the only drain pattern that stays
+    fast on high-latency tunneled runtimes (per-buffer fetches: ~0.25 s
+    each; eager stacks: one arity-N compile + a crawling multi-arg dispatch).
+    Standalone query_async handles fall back to one batched device_get.
 
     Returns a list of per-handle results (None or (gidx, corr, T3)), in order.
     None entries in `handles` pass through (queries against an empty DB);
@@ -663,13 +708,51 @@ def drain_handles(handles) -> list:
     counters were accumulated then — re-finishing would double-count)."""
     live = [h for h in handles if h is not None and h._host is None]
     if live:
-        if len(live) == 1:
-            mat = [_device_fetch(live[0].rec)]
-        else:  # eager stack = one device op, then ONE host copy
-            mat = np.asarray(_device_fetch(jnp.stack([h.rec for h in live])))
-        for h, vec in zip(live, mat):
-            h._finish(vec)
+        ring = [h for h in live
+                if h.row is not None and h._db.recs_store is not None]
+        rest = [h for h in live
+                if h.row is None or h._db.recs_store is None]
+        if ring:
+            rings = _fetch_rings(ring)
+            for h in ring:
+                h._finish(rings[id(h._db)][h.row])
+        if rest:
+            mats = _device_fetch([h.rec for h in rest])
+            for h, vec in zip(rest, mats):
+                h._finish(np.asarray(vec))
     return [None if h is None else h.get() for h in handles]
+
+
+def _stream_savez(path: str, scalars: dict, store: ScanDesc,
+                  since: int, n: int, chunk_bytes: int) -> None:
+    """Write an npz (np.load-compatible) with the store leaves streamed from
+    device in row blocks of <= chunk_bytes — the save never materializes a
+    whole leaf on host, and no single D2H transfer exceeds the block size."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    rows = n - since
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        import io
+
+        for name, val in scalars.items():
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(val))
+            zf.writestr(name + ".npy", buf.getvalue())
+        for i, leaf in enumerate(jax.tree.leaves(store)):
+            row_bytes = max(1, int(np.prod(leaf.shape[1:])) * leaf.dtype.itemsize)
+            step = max(1, chunk_bytes // row_bytes)
+            header = {
+                "descr": npf.dtype_to_descr(np.dtype(leaf.dtype)),
+                "fortran_order": False,
+                "shape": (rows,) + tuple(leaf.shape[1:]),
+            }
+            with zf.open(f"store_{i}.npy", "w", force_zip64=True) as f:
+                npf.write_array_header_2_0(f, header)
+                for s in range(since, n, step):
+                    block = np.asarray(_device_fetch(leaf[s:min(s + step, n)]))
+                    f.write(np.ascontiguousarray(block).tobytes())
 
 
 # ---------------------------------------------------------------------------
@@ -786,6 +869,10 @@ class ContourDB:
         self.store: Optional[ScanDesc] = None
         self.ts_store = None      # (capacity,) f32 device timestamps
         self.state = None         # (2,) i32 device (n, pop_ptr/searchable_n)
+        # (capacity, RECORD_WIDTH) f32 device ring of per-scan query records
+        # (fused stream + block paths write it; drain_handles fetches it as
+        # ONE contiguous buffer at stream end)
+        self.recs_store = None
         self.ts: List[float] = []
         self.seq_of_gidx: List[int] = []
         self.max_fine = cfg.db.max_fine_opt
@@ -840,6 +927,10 @@ class ContourDB:
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), self.store)
         self.ts_store = jnp.concatenate(
             [self.ts_store, jnp.zeros((pad,), jnp.float32)])
+        if self.recs_store is not None:
+            self.recs_store = jnp.concatenate(
+                [self.recs_store,
+                 jnp.zeros((pad, RECORD_WIDTH), jnp.float32)])
         self.capacity = new_capacity
 
     def _ensure_capacity(self, need: int) -> None:
@@ -874,13 +965,18 @@ class ContourDB:
             self._init_store()
         self._ensure_capacity(1)
         assert self.n < self.capacity, "DB capacity exceeded"
-        self.store, self.ts_store, self.state, rec = _scan_step(
-            self.store, self.ts_store, self.state, points, ts, self.cfg)
+        if self.recs_store is None:
+            self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
+                                        jnp.float32)
+        row = self.n
+        (self.store, self.ts_store, self.state, self.recs_store,
+         rec) = _scan_step(self.store, self.ts_store, self.state,
+                           self.recs_store, points, ts, self.cfg)
         if isinstance(ts, (int, float, np.floating)):
             self.ts.append(float(ts))
         self.seq_of_gidx.append(seq)
         self.n += 1
-        return QueryHandle(rec, self)
+        return QueryHandle(rec, self, row=row)
 
     def add_scan(self, desc: ScanDesc, seq: int, ts):
         """Append a scan. `ts` may be a host float (convenience) or a device
@@ -911,34 +1007,41 @@ class ContourDB:
     # fetches device data — on tunneled runtimes do it only after the
     # streaming epoch (the first D2H degrades the process; see README).
 
-    def save(self, path: str, since: int = 0) -> None:
+    def save(self, path: str, since: int = 0,
+             chunk_bytes: int = 256 << 20) -> None:
         """Serialize rows [since:n] + window state + metadata to .npz.
 
         `since > 0` writes a DELTA checkpoint holding only the rows appended
         after a previous save — O(new rows) instead of an O(N) rewrite of a
         multi-GB city-scale store. Restore a base + deltas chain with
         `load_chain`; each file records its `since` so contiguity is
-        verifiable. A full save is the `since=0` special case."""
+        verifiable. A full save is the `since=0` special case.
+
+        The store leaves are STREAMED: device rows are fetched in blocks of
+        <= `chunk_bytes` and written straight into the zip member, so neither
+        host memory nor a single device->host RPC ever holds more than one
+        block — a 131k-scan city store (~5 GB) saves at bounded memory
+        instead of one multi-GB fetch (r1 weak #6)."""
         assert self.store is not None, "empty DB"
         n = self.n
         assert 0 <= since <= n, (since, n)
-        host_store = _device_fetch(
-            jax.tree.map(lambda a: a[since:n], self.store))
         state = np.asarray(_device_fetch(self.state))
         ts_store = np.asarray(_device_fetch(self.ts_store))[since:n]
-        arrays = {f"store_{i}": leaf
-                  for i, leaf in enumerate(jax.tree.leaves(host_store))}
-        np.savez_compressed(
-            path, n=n, since=since, capacity=self.capacity, state=state,
+        # the host f64 list is authoritative when populated (host-scalar ts
+        # path): absolute epoch-scale stamps (~1.7e9 s) quantize by ~100 s in
+        # the f32 ts_store; fall back to ts_store only on the device-resident
+        # upload path where no host copy exists
+        ts_f64 = (np.asarray(self.ts[since:n], np.float64)
+                  if len(self.ts) == n else ts_store.astype(np.float64))
+        scalars = dict(
+            n=n, since=since, capacity=self.capacity, state=state,
             ts_store=ts_store,
             seq_of_gidx=np.asarray(self.seq_of_gidx[since:], np.int64),
-            # ts_store is the authoritative per-row timestamp record (the
-            # host list is empty on the device-resident upload path)
-            ts=ts_store.astype(np.float64),
+            ts=ts_f64,
             counters=np.asarray([self.counters[k] for k in sorted(self.counters)],
                                 np.int64),
-            counter_keys=np.asarray(sorted(self.counters)),
-            **arrays)
+            counter_keys=np.asarray(sorted(self.counters)))
+        _stream_savez(path, scalars, self.store, since, n, chunk_bytes)
 
     @classmethod
     def load(cls, path: str, cfg: PipelineConfig,
@@ -996,7 +1099,12 @@ class ContourDB:
         db.state = jnp.asarray(zs[-1]["state"], jnp.int32)
         db.n = n
         db.seq_of_gidx = [int(x) for z in zs for x in z["seq_of_gidx"]]
-        db.ts = [float(t) for t in ts_full]
+        # host ts list: prefer the f64 'ts' entry (exact epoch-scale stamps)
+        # over the f32 device ts_store
+        ts64 = np.concatenate([np.asarray(z["ts"]) if "ts" in z.files
+                               else np.asarray(z["ts_store"], np.float64)
+                               for z in zs])
+        db.ts = [float(t) for t in ts64]
         # counters map by name (counter_keys); legacy checkpoints predate the
         # key list and used the then-current 8 sorted names
         z_last = zs[-1]
@@ -1069,12 +1177,17 @@ class ContourDB:
                 lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype), descs))
         self._ensure_capacity(B)
         assert self.n + B <= self.capacity, "DB capacity exceeded"
-        self.store, self.ts_store, self.state, recs = _process_block(
-            self.store, self.ts_store, self.state, descs,
-            jnp.asarray(ts_b, jnp.float32), self.cfg)
+        if self.recs_store is None:
+            self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
+                                        jnp.float32)
+        row0 = self.n
+        (self.store, self.ts_store, self.state, self.recs_store,
+         recs) = _process_block(self.store, self.ts_store, self.state,
+                                self.recs_store, descs,
+                                jnp.asarray(ts_b, jnp.float32), self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += B
-        return BlockHandle(recs, self)
+        return BlockHandle(recs, self, row0=row0)
 
     def localize_block_async(self, points_b,
                              chunk: Optional[int] = None
@@ -1088,17 +1201,25 @@ class ContourDB:
         `chunk` bounds device memory for large B: the batched search holds a
         (chunk, Q, A, N*A) f32 distance tensor, so pick chunk ~= budget /
         (Q*A*N*A*4). Chunks dispatch independently (each is one fused
-        dispatch); a non-divisible tail compiles one extra shape."""
+        dispatch); a non-divisible tail is PADDED to the chunk shape (zero
+        point clouds query as found=False and are sliced off), so every
+        chunk reuses the one compiled graph — no tail-shape recompile."""
         if self.store is None:
             return None
         B = int(points_b.shape[0])
         if chunk is None or B <= chunk:
             recs = _localize_block(self.store, self.state, points_b, self.cfg)
         else:
+            pad = (-B) % chunk
+            if pad:
+                points_b = jnp.concatenate([
+                    jnp.asarray(points_b),
+                    jnp.zeros((pad,) + tuple(points_b.shape[1:]),
+                              points_b.dtype)])
             recs = jnp.concatenate([
                 _localize_block(self.store, self.state, points_b[i:i + chunk],
                                 self.cfg)
-                for i in range(0, B, chunk)])
+                for i in range(0, B + pad, chunk)])[:B]
         return BlockHandle(recs, self, counters="serving_counters")
 
     # -- query ------------------------------------------------------------

@@ -73,6 +73,95 @@ def test_save_load_roundtrip(tmp_path):
     assert db2.searchable_n >= db.searchable_n
 
 
+def test_save_keeps_epoch_scale_ts_exact(tmp_path):
+    """Absolute epoch-scale timestamps (~1.7e9 s) round-trip through save/load
+    at f64 precision via the host ts list; the f32 device ts_store alone would
+    quantize them by ~100 s (r1 advisor finding)."""
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=2048))
+    world = make_world(3, n_structs=40, extent=60.0)
+    db = ContourDB(cfg, capacity=8)
+    stamps = [1.7e9 + 0.1 * i for i in range(4)]
+    for i, t in enumerate(stamps):
+        pts = render_scan(world, (5.0 * i, 0.0, 0.0), seed=40 + i)
+        desc = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                                cfg.cm, cfg.gmm)
+        db.add_scan(desc, i, t)          # host-float ts populates db.ts
+    path = str(tmp_path / "ts.npz")
+    db.save(path)
+    db2 = ContourDB.load(path, cfg)
+    assert db2.ts == stamps              # exact, not f32-quantized
+    # delta chain preserves the same precision
+    pts = render_scan(world, (20.0, 0.0, 0.0), seed=50)
+    desc = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                            cfg.cm, cfg.gmm)
+    db.add_scan(desc, 4, 1.7e9 + 0.45)
+    p2 = str(tmp_path / "ts_delta.npz")
+    db.save(p2, since=4)
+    db3 = ContourDB.load_chain([path, p2], cfg)
+    assert db3.ts == stamps + [1.7e9 + 0.45]
+
+
+def test_streamed_save_roundtrip_32k_rows(tmp_path):
+    """City-scale checkpoint: 32768 rows saved through the streaming writer
+    (many small device fetches, bounded host memory) round-trip bit-exact
+    through load(), including a delta chain (r1 weak #6 / next-round #7).
+
+    Uses a tiny per-row layout so the test is CI-sized; the row COUNT, the
+    chunked fetch path and the zip streaming are exactly the city-scale
+    code path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.config import GMMOptConfig
+
+    cfg = PipelineConfig(
+        cm=ContourManagerConfig(n_row=32, n_col=32, max_points=512,
+                                max_contours=8),
+        gmm=GMMOptConfig(max_gmm_ellipses=8))
+    world = make_world(9, n_structs=30, extent=30.0)
+    desc = build_descriptor(
+        pad_points(render_scan(world, (0.0, 0.0, 0.0), seed=1,
+                               max_range=30.0), cfg.cm.max_points),
+        cfg.cm, cfg.gmm)
+    N = 32768
+    db = ContourDB(cfg, capacity=N)
+    db._init_store(desc)
+    db.store = jax.tree.map(
+        lambda z, x: jnp.broadcast_to(x[None], (N,) + x.shape).astype(z.dtype)
+        + jnp.zeros_like(z),
+        db.store, desc)
+    db.ts_store = jnp.arange(N, dtype=jnp.float32)
+    db.state = jnp.asarray([N, N - 32], jnp.int32)
+    db.n = N
+    db.seq_of_gidx = list(range(N))
+
+    path = str(tmp_path / "big.npz")
+    db.save(path, chunk_bytes=1 << 20)        # forces many fetch blocks
+    db2 = ContourDB.load(path, cfg, capacity=N)
+    assert db2.n == N and db2.searchable_n == N - 32
+    for a, b in zip(jax.tree.leaves(db.store), jax.tree.leaves(db2.store)):
+        np.testing.assert_array_equal(np.asarray(a[:N]), np.asarray(b[:N]))
+    np.testing.assert_array_equal(np.asarray(db2.ts_store[:N]),
+                                  np.asarray(db.ts_store[:N]))
+
+    # delta chain on top of the streamed base
+    desc2 = build_descriptor(
+        pad_points(render_scan(world, (5.0, 0.0, 0.0), seed=2,
+                               max_range=30.0), cfg.cm.max_points),
+        cfg.cm, cfg.gmm)
+    db2._grow(N + 8)
+    db2.add_scan(desc2, N, float(N) + 10.0)
+    p2 = str(tmp_path / "big_delta.npz")
+    db2.save(p2, since=N, chunk_bytes=1 << 20)
+    db3 = ContourDB.load_chain([path, p2], cfg, capacity=N + 8)
+    assert db3.n == N + 1
+    for a, b in zip(jax.tree.leaves(db2.store), jax.tree.leaves(db3.store)):
+        np.testing.assert_array_equal(np.asarray(a[: N + 1]),
+                                      np.asarray(b[: N + 1]))
+
+
 def test_load_migrates_legacy_dtypes(tmp_path):
     """Checkpoints written before the HBM-compact dtypes (int32 neighbor
     tables / counts) must load and keep accepting appends."""

@@ -344,3 +344,52 @@ def test_drain_after_get_no_double_count():
     res = drain_handles([h, None])
     assert res[0] == first and res[1] is None
     assert db.counters == counters_after_get
+
+
+@pytest.mark.slow
+def test_ring_drain_matches_per_handle_fetch():
+    """The fused stream's records drain from the device record ring as ONE
+    contiguous buffer (drain_handles fast path); every drained result must
+    equal the record fetched directly from the handle's own `rec` buffer —
+    across step_async scans, a process_block_async block (ring rows after a
+    _grow), and a standalone query_async handle (non-ring fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import _unpack_record, drain_handles
+
+    world, descs = _descs(8)
+    db = ContourDB(CFG, capacity=6)          # forces a _grow mid-stream
+    handles = []
+    for i in range(5):
+        pts = pad_points(render_scan(world, (10.0 * i, 0.0, 0.0),
+                                     seed=500 + i), CFG.cm.max_points)
+        handles.append(db.step_async(jnp.asarray(pts), i, float(6.0 * i)))
+    bh = db.process_block_async(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *descs[5:8]),
+        [5, 6, 7], np.asarray([30.0, 36.0, 42.0], np.float32))
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   CFG.cm.max_points), CFG.cm, CFG.gmm)
+    hq = db.query_async(q)
+    assert hq.row is None and handles[0].row == 0 and bh.row0 == 5
+
+    # direct per-buffer truth BEFORE draining (does not touch _host)
+    direct = [_unpack_record(np.asarray(h.rec)) for h in handles + [hq]]
+    direct_blk = [_unpack_record(r) for r in np.asarray(bh.recs)]
+
+    res = drain_handles(handles + [hq])
+    for r, d in zip(res, direct):
+        if d.found:
+            assert r is not None and r[0] == d.gidx
+            np.testing.assert_allclose(r[1], d.corr, rtol=1e-6)
+            np.testing.assert_array_equal(r[2], d.T)
+        else:
+            assert r is None
+    for r, d in zip(bh.get(), direct_blk):
+        if d.found:
+            assert r is not None and r[0] == d.gidx
+        else:
+            assert r is None
+    # the stream found at least one loop, so the ring carried real records
+    assert any(r is not None for r in res) or any(d.found for d in direct_blk)
