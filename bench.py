@@ -16,14 +16,20 @@ costs ~40 ms — so production epochs must be fetch-free; see README).
 Compares with the reference's single-thread C++ baseline on KITTI 08
 (10.8-11.2 ms/scan end-to-end, log/timing_cont2_paper.txt — see BASELINE.md).
 The headline `value` is the device-resident FUSED stream (db.step_async: ONE
-dispatch per scan); `unfused_stream_ms` is the same stream via 4 dispatches;
-`upload_f32_ms` / `upload_q16_ms` add per-scan host->device upload of the
-131072x4 payload (f32 / int16 wire format) through this harness's tunnel.
+dispatch per scan).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Output protocol (robust to driver-side timeouts): the HEADLINE JSON line is
+printed and flushed the moment the fused measurement exists — before any
+secondary phase runs — so a timeout later can no longer lose the round's
+number. Every secondary phase (upload, unfused, block, big-DB, map serving)
+is budget-gated by CONT2_BENCH_BUDGET (wall seconds, including compile and
+fill time); when all gated phases finish, ONE extended JSON line with the
+same headline fields plus the secondary metrics is printed last. Progress
+narration goes to stderr only.
 """
 
 import json
+import logging
 import os
 import sys
 import time
@@ -31,6 +37,27 @@ import time
 import numpy as np
 
 BASELINE_MS = 11.0  # reference end-to-end per-scan, KITTI 08
+
+
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T0:.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
+class CompileCounter(logging.Handler):
+    """Counts XLA compilations (jax_log_compiles records) — the recompile
+    audit VERDICT r1 #9 asked for; reported as `n_compiles`."""
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.count = 0
+
+    def emit(self, record):
+        if record.getMessage().startswith("Compiling "):
+            self.count += 1
 
 
 def main():
@@ -47,6 +74,12 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    compile_counter = CompileCounter()
+    try:
+        jax.config.update("jax_log_compiles", True)
+        logging.getLogger("jax").addHandler(compile_counter)
+    except Exception:
+        pass
 
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
     from contour_context_tpu.db import ContourDB, drain_handles
@@ -58,12 +91,13 @@ def main():
     world = make_world(1, n_structs=300, extent=400.0)
 
     n_fill = 60      # warm-up scans pre-inserted into the DB
-    n_meas = 60      # measured steady-state scans (x2 phases)
+    n_meas = 60      # measured steady-state scans per phase
 
-    db = ContourDB(cfg, capacity=n_fill + 5 * n_meas + 56 + 192)  # + fused x3 + block phases
+    # capacity: fill + 3 fused epochs + upload + unfused + block16 + block64
+    db = ContourDB(cfg, capacity=n_fill + 5 * n_meas + 48 + 192)
     n_tot = n_fill + 2 * n_meas
-    # out-and-back trajectory: the final phase retraces the outbound path, so
-    # the measured steady state includes genuine loop closures (full branch)
+    # out-and-back trajectory: steady-state phases retrace the outbound path,
+    # so the measured stream includes genuine loop closures (full branch)
     n_out = n_fill + n_meas
     poses = [(4.0 * i, 0.5 * (i % 7), 0.05 * (i % 11)) for i in range(n_out)]
     poses += [(4.0 * (2 * n_out - 2 - i), 0.8, 0.1) for i in range(n_out, n_tot)]
@@ -72,209 +106,227 @@ def main():
               for p in poses]
 
     handles = []
+    blk_handles = []
 
-    # secondary phases run inside a wall-clock budget so a cold compile cache
-    # can never starve the headline JSON line (driver-side timeouts)
-    budget_s = float(os.environ.get("CONT2_BENCH_BUDGET", "400"))
-    t_start = time.perf_counter()
+    # EVERYTHING (compile + fill included) counts against the budget; the
+    # headline is printed the moment it exists so a driver timeout during any
+    # later phase can never lose it (BENCH_r01 failure mode).
+    budget_s = float(os.environ.get("CONT2_BENCH_BUDGET", "300"))
 
-    def in_budget():
-        return time.perf_counter() - t_start < budget_s
+    def in_budget(need=0.0):
+        """True if `need` more seconds still fit. Each phase passes its own
+        worst-case COLD-cache cost (compile dominated; ~0 when the persistent
+        cache is warm) so a single long XLA compile — which cannot be
+        preempted once started — can no longer blow past the budget the way
+        the 131k-store _query_step compile (192 s) did."""
+        return time.perf_counter() - T0 + need < budget_s
 
-    def step(i, dev_pts, dev_ts):
-        """One pipeline step from a device-resident (points, ts) payload."""
-        desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
-        handles.append(db.query_async(desc))
-        db.add_scan(desc, i, dev_ts)
-        db.push_and_balance(dev_ts)
+    # monotone seq/ts allocator: every phase draws fresh increasing ids, so
+    # the _update_window_impl monotone-timestamp contract holds across phases
+    # (r1 advisor finding: block phases regressed below the fused offsets)
+    next_id = [0]
 
-    def sync():
-        """Force all outstanding work WITHOUT any device->host transfer."""
-        jax.block_until_ready([h.rec for h in handles if h is not None])
-        jax.block_until_ready(db.store)
+    def take_ids(k):
+        s = next_id[0]
+        next_id[0] += k
+        return s
 
-    # warm up + fill with the fused per-scan step (compiles the one graph the
-    # production stream uses)
-    for i in range(n_fill):
-        pts_i, ts_i = jax.device_put((clouds[i], np.float32(i)))
+    # ---- phase 0: warm up + fill with the fused per-scan step (compiles the
+    # one graph the production stream uses; the only compile on the headline
+    # path) ------------------------------------------------------------------
+    log(f"fill: {n_fill} fused steps (compiles _scan_step)")
+    base = take_ids(n_fill)
+    for j in range(n_fill):
+        i = base + j
+        pts_i, ts_i = jax.device_put((clouds[j], np.float32(i)))
         handles.append(db.step_async(pts_i, i, ts_i))
-    sync()
+    jax.block_until_ready(handles[-1].rec)
+    jax.block_until_ready(db.store)
+    log(f"fill done ({compile_counter.count} compiles so far)")
 
-    # phase 1: per-scan upload included (the production streaming path,
-    # fused step), with a DEPTH-deep prefetch queue so uploads pipeline over
-    # the link and overlap compute (the data-loader pattern)
-    DEPTH = 8
-    from collections import deque
-    fifo = deque(jax.device_put((clouds[n_fill + j], np.float32(n_fill + j)))
-                 for j in range(DEPTH))
-    t0 = time.perf_counter()
-    for j in range(n_meas):
-        i = n_fill + j
-        cur = fifo.popleft()
-        if j + DEPTH < n_meas:
-            fifo.append(jax.device_put((clouds[i + DEPTH],
-                                        np.float32(i + DEPTH))))
-        handles.append(db.step_async(cur[0], i, cur[1]))
-    sync()
-    dt_up_ms = (time.perf_counter() - t0) / n_meas * 1e3
-
-    # phase 1b (budget-gated): same, int16 fixed-point wire format (half the
-    # upload bytes; dequantized on device inside build_descriptor)
-    dt_q16_ms = None
-    if in_budget():
-        from contour_context_tpu.utils.io import quantize_points_q16
-
-        q_clouds = [quantize_points_q16(c) for c in clouds]
-        fifo = deque(jax.device_put((q_clouds[j], np.float32(j)))
-                     for j in range(DEPTH))
-        handles_q = []
-        for j in range(DEPTH, 2 * DEPTH):  # warm-up: compile the int16 variant
-            fifo.append(jax.device_put((q_clouds[j], np.float32(j))))
-        # reuse scan slots already in the DB: re-query without appending
-        pts0, _ = fifo[0]
-        d0 = build_descriptor(pts0, cfg.cm, cfg.gmm)  # compiles int16 variant
-        jax.block_until_ready(db.query_async(d0).rec)  # compiles query graph
-        t0 = time.perf_counter()
-        for j in range(n_meas):
-            cur = fifo.popleft()
-            if j + 2 * DEPTH < n_meas:
-                fifo.append(jax.device_put((q_clouds[j + 2 * DEPTH],
-                                            np.float32(j))))
-            desc = build_descriptor(cur[0], cfg.cm, cfg.gmm)
-            handles_q.append(db.query_async(desc))
-        jax.block_until_ready([h.rec for h in handles_q if h is not None])
-        dt_q16_ms = (time.perf_counter() - t0) / n_meas * 1e3
-
-    # phase 2: device-resident stream, UNFUSED 4-dispatch path (kept as the
-    # dispatch-overhead comparison against the fused headline below)
-    staged = [jax.device_put((clouds[n_fill + n_meas + j],
-                              np.float32(n_fill + n_meas + j)))
-              for j in range(n_meas)]
-    jax.block_until_ready(staged)
-    step(n_fill + n_meas, *staged[0])    # compiles query/append/window graphs
-    sync()
-    t0 = time.perf_counter()
-    for j in range(1, n_meas):
-        step(n_fill + n_meas + j, *staged[j])
-    sync()
-    dt_dev_ms = (time.perf_counter() - t0) / (n_meas - 1) * 1e3
-
-    # phase 2b (the HEADLINE): the FULLY fused per-scan step — descriptor
-    # build + query + append + window update in ONE dispatch (db.step_async),
-    # device-resident payloads. Removes 3 of the 4 per-scan dispatch round
-    # trips of phase 2; on this runtime dispatch latency, not compute,
-    # dominates the streaming loop.
-    staged_f = [jax.device_put((clouds[n_fill + j],
-                                np.float32(n_tot + j)))
+    # ---- HEADLINE: the FULLY fused per-scan step — descriptor build + query
+    # + append + temporal-window update in ONE dispatch (db.step_async),
+    # device-resident payloads. Best-of-3 epochs: the tunnel's RPC latency is
+    # bursty, so a lone epoch can land on a congested window; the min epoch
+    # estimates the noise floor (the steady-state figure a PCIe host sees).
+    # Epochs 2-3 are budget-gated; epoch 1 always runs. -----------------------
+    base = take_ids(3 * n_meas)   # ts layout: epoch r uses base + r*n_meas + j
+    staged_f = [jax.device_put((clouds[n_fill + j], np.float32(base + j)))
                 for j in range(n_meas)]
     jax.block_until_ready(staged_f)
-    fused_handles = [db.step_async(staged_f[0][0], n_tot, staged_f[0][1])]
-    jax.block_until_ready(fused_handles[0].rec)      # compile warm-up
-    # best-of-3 epochs: the tunnel's RPC latency is bursty, so a single
-    # epoch can land on a congested window; the min epoch estimates the
-    # noise floor (the steady-state figure a PCIe host would see). Point
-    # buffers are reused; timestamps offset on device (untimed) so the
-    # monotone-ts window contract holds.
+    fused_handles = [db.step_async(staged_f[0][0], base, staged_f[0][1])]
+    jax.block_until_ready(fused_handles[0].rec)      # graph warm (cached fill)
     fused_epochs = []
-    seq_base = n_tot
     for rep in range(3):
+        if rep > 0 and not in_budget():
+            break
         if rep == 0:
             epoch = staged_f
         else:
-            epoch = [(p, t + np.float32(1000.0 * rep)) for p, t in staged_f]
+            # reuse point buffers; shift ts on device (untimed) to keep the
+            # stream's timestamps monotone
+            epoch = [(p, t + np.float32(n_meas * rep)) for p, t in staged_f]
             jax.block_until_ready(epoch)
+        seq0 = base + rep * n_meas
         t0 = time.perf_counter()
         for j in range(1, n_meas):
-            fused_handles.append(
-                db.step_async(epoch[j][0], seq_base + j, epoch[j][1]))
+            fused_handles.append(db.step_async(epoch[j][0], seq0 + j,
+                                               epoch[j][1]))
         jax.block_until_ready(fused_handles[-1].rec)
         fused_epochs.append((time.perf_counter() - t0) / (n_meas - 1) * 1e3)
-        seq_base += n_meas - 1
+        log(f"fused epoch {rep + 1}: {fused_epochs[-1]:.3f} ms/scan")
     jax.block_until_ready(db.store)
-    dt_fused_ms = min(fused_epochs)
     handles.extend(fused_handles)
-    base = seq_base + 1
+    dt_fused_ms = min(fused_epochs)
 
-    # phase 3: batched throughput mode — blocks of B scans appended + queried
-    # in one dispatch (exact window parity, see db._process_block), descriptor
-    # build vmapped over the block
-    B = 16
-    n_blk = 48
-    poses_b = [(4.0 * (2 * n_out - 2 - (n_tot + i)), -0.8, -0.1)
-               for i in range(n_blk)]
-    clouds_b = [pad_points(render_scan(world, p, seed=int(rng.integers(1 << 30))),
-                           cfg.cm.max_points) for p in poses_b]
-    batch_build = jax.jit(
-        jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)),
-        static_argnames=())
-    staged_b = [jax.device_put((np.stack(clouds_b[j:j + B]),
-                                np.arange(base + j, base + j + B,
-                                          dtype=np.float32)))
-                for j in range(0, n_blk, B)]
-    jax.block_until_ready(staged_b)
-    blk_handles = []
-    # warm-up compile of the block graphs (first block), then measure the rest
-    pts0, ts0 = staged_b[0]
-    h = db.process_block_async(batch_build(pts0), list(range(base, base + B)),
-                               ts0)
-    blk_handles.append(h)
-    jax.block_until_ready(h.recs)
-    t0 = time.perf_counter()
-    for k, (pts_k, ts_k) in enumerate(staged_b[1:], start=1):
-        i0 = base + k * B
-        h = db.process_block_async(batch_build(pts_k), list(range(i0, i0 + B)),
-                                   ts_k)
-        blk_handles.append(h)
-    jax.block_until_ready(blk_handles[-1].recs)
-    dt_blk_ms = (time.perf_counter() - t0) / (n_blk - B) * 1e3
+    headline = {
+        "metric": "per-scan end-to-end loop-closure latency "
+                  "(synthetic KITTI-scale, 240-scan DB, device-resident "
+                  "stream, ONE fused dispatch per scan: descriptor + query "
+                  "+ append + temporal window)",
+        "value": round(dt_fused_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / dt_fused_ms, 3),
+        "fused_epochs_ms": [round(v, 3) for v in fused_epochs],
+        "baseline_ms": BASELINE_MS,
+    }
+    print(json.dumps(headline), flush=True)   # the driver-safe line
+    log("headline JSON emitted")
 
-    # phase 3b (budget-gated): block-64 — the throughput ceiling; exact
-    # window parity holds for any B (db._process_block replays per-scan pops)
-    dt_blk64_ms = None
-    if in_budget():
-        B2 = 64
-        n2 = base + n_blk
-        clouds64 = [pad_points(
-            render_scan(world, (4.0 * (i % n_out), -1.2, 0.05),
-                        seed=int(rng.integers(1 << 30))), cfg.cm.max_points)
-            for i in range(3 * B2)]
-        bb64 = jax.jit(jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
-        staged64 = [jax.device_put((np.stack(clouds64[k * B2:(k + 1) * B2]),
-                                    np.arange(n2 + k * B2, n2 + (k + 1) * B2,
-                                              dtype=np.float32)))
-                    for k in range(3)]
-        jax.block_until_ready(staged64)
-        h = db.process_block_async(bb64(staged64[0][0]),
-                                   list(range(n2, n2 + B2)), staged64[0][1])
-        jax.block_until_ready(h.recs)          # compile warm-up
+    def rnd(v):
+        return round(v, 3) if v is not None else None
+
+    # ---- secondary phases (each budget-gated; ordered cheapest-first so a
+    # tight budget still yields the low-compile-cost comparisons) ------------
+
+    # upload f32: per-scan H2D included (production streaming path, fused
+    # step, DEPTH-deep prefetch queue pipelines uploads over the link).
+    # Reuses the already-compiled fused graph — zero new compiles.
+    dt_up_ms = None
+    if in_budget(15):
+        log("phase upload_f32")
+        from collections import deque
+        DEPTH = 8
+        base = take_ids(n_meas)
+        fifo = deque(jax.device_put((clouds[n_fill + j], np.float32(base + j)))
+                     for j in range(DEPTH))
         t0 = time.perf_counter()
-        hs64 = []
-        for k in (1, 2):
-            i0 = n2 + k * B2
-            hs64.append(db.process_block_async(
-                bb64(staged64[k][0]), list(range(i0, i0 + B2)), staged64[k][1]))
-        jax.block_until_ready(hs64[-1].recs)
-        dt_blk64_ms = (time.perf_counter() - t0) / (2 * B2) * 1e3
-        blk_handles.extend([h] + hs64)
+        for j in range(n_meas):
+            cur = fifo.popleft()
+            if j + DEPTH < n_meas:
+                fifo.append(jax.device_put((clouds[n_fill + j + DEPTH],
+                                            np.float32(base + j + DEPTH))))
+            handles.append(db.step_async(cur[0], base + j, cur[1]))
+        jax.block_until_ready(handles[-1].rec)
+        dt_up_ms = (time.perf_counter() - t0) / n_meas * 1e3
 
-    # phase 4: query latency against production-scale DBs (the real scans
-    # tiled to fill the store — honest for search/cascade scaling; contents
-    # repeat but shapes and work don't). 32768 scans ~= a 55 min drive @10 Hz,
-    # ~1.2M retrieval keys.
-    import jax.numpy as jnp
+    # unfused 4-dispatch stream (build / query / append / window): the
+    # dispatch-overhead comparison against the fused headline
+    dt_dev_ms = None
+    if in_budget(30):
+        log("phase unfused")
+        from contour_context_tpu.db import _query_step  # noqa: F401
 
-    from contour_context_tpu.db import _query_step
+        base = take_ids(n_meas)
+        staged = [jax.device_put((clouds[n_fill + n_meas + j],
+                                  np.float32(base + j)))
+                  for j in range(n_meas)]
+        jax.block_until_ready(staged)
 
-    # 131072 scans ~= a 3.6 h drive @10 Hz (~4.7M retrieval keys, ~5.2 GB
-    # archived store) — the city-scale serving point enabled by the compact
-    # store dtypes
+        def step(i, dev_pts, dev_ts):
+            desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
+            handles.append(db.query_async(desc))
+            db.add_scan(desc, i, dev_ts)
+            db.push_and_balance(dev_ts)
+
+        step(base, *staged[0])    # compiles query/append/window graphs
+        jax.block_until_ready(handles[-1].rec)
+        t0 = time.perf_counter()
+        for j in range(1, n_meas):
+            step(base + j, *staged[j])
+        jax.block_until_ready(handles[-1].rec)
+        jax.block_until_ready(db.store)
+        dt_dev_ms = (time.perf_counter() - t0) / (n_meas - 1) * 1e3
+
+    # batched throughput mode: blocks of B scans appended + queried in one
+    # dispatch (exact window parity, db._process_block)
+    dt_blk_ms = None
+    if in_budget(40):
+        log("phase block16")
+        B = 16
+        n_blk = 48
+        base = take_ids(n_blk)
+        poses_b = [(4.0 * (2 * n_out - 2 - (n_tot + i)), -0.8, -0.1)
+                   for i in range(n_blk)]
+        clouds_b = [pad_points(
+            render_scan(world, p, seed=int(rng.integers(1 << 30))),
+            cfg.cm.max_points) for p in poses_b]
+        batch_build = jax.jit(
+            jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
+        staged_b = [jax.device_put((np.stack(clouds_b[j:j + B]),
+                                    np.arange(base + j, base + j + B,
+                                              dtype=np.float32)))
+                    for j in range(0, n_blk, B)]
+        jax.block_until_ready(staged_b)
+        pts0, ts0 = staged_b[0]
+        h = db.process_block_async(batch_build(pts0),
+                                   list(range(base, base + B)), ts0)
+        blk_handles.append(h)
+        jax.block_until_ready(h.recs)        # compile warm-up
+        t0 = time.perf_counter()
+        for k, (pts_k, ts_k) in enumerate(staged_b[1:], start=1):
+            i0 = base + k * B
+            h = db.process_block_async(batch_build(pts_k),
+                                       list(range(i0, i0 + B)), ts_k)
+            blk_handles.append(h)
+        jax.block_until_ready(blk_handles[-1].recs)
+        dt_blk_ms = (time.perf_counter() - t0) / (n_blk - B) * 1e3
+
+    # q16 wire format: same fused-query stream but int16 fixed-point uploads
+    # (block64 runs LAST of the stream phases: its B=64 vmapped-build compile
+    # is the most expensive one-off graph, and the bigdb scaling numbers
+    # below are worth more under a tight budget)
+    # (half the bytes); queries only, nothing appended
+    dt_q16_ms = None
+    if in_budget(30):
+        log("phase upload_q16")
+        from collections import deque
+
+        from contour_context_tpu.utils.io import quantize_points_q16
+
+        DEPTH = 8
+        q_clouds = [quantize_points_q16(c) for c in clouds[:2 * n_meas]]
+        fifo = deque(jax.device_put(q_clouds[j]) for j in range(DEPTH))
+        d0 = build_descriptor(fifo[0], cfg.cm, cfg.gmm)   # compiles i16 build
+        jax.block_until_ready(db.query_async(d0).rec)     # compiles query
+        handles_q = []
+        t0 = time.perf_counter()
+        for j in range(n_meas):
+            cur = fifo.popleft()
+            if j + DEPTH < n_meas:
+                fifo.append(jax.device_put(q_clouds[j + DEPTH]))
+            desc = build_descriptor(cur, cfg.cm, cfg.gmm)
+            handles_q.append(db.query_async(desc))
+        jax.block_until_ready([h.rec for h in handles_q if h is not None])
+        dt_q16_ms = (time.perf_counter() - t0) / n_meas * 1e3
+        handles.extend(handles_q)
+
+    # query latency against production-scale DBs (real scans tiled to fill
+    # the store — honest for search/cascade scaling; contents repeat but
+    # shapes and work don't). 131072 scans ~= a 3.6 h drive @10 Hz (~4.7M
+    # retrieval keys) — the city-scale serving point.
+    from contour_context_tpu.db import _localize_block, _query_step
+
     dt_big = {8192: None, 32768: None, 131072: None}
     dt_loc_ms = {32768: None, 131072: None}
-    qdesc = build_descriptor(staged[0][0], cfg.cm, cfg.gmm)
+    qdesc = build_descriptor(jax.device_put(clouds[0]), cfg.cm, cfg.gmm)
     n_have = db.n
+    # worst-case COLD-cache _query_step compile at these shapes: ~40/70/190 s
+    big_need = {8192: 50, 32768: 80, 131072: 120}
     for n_db in (8192, 32768, 131072):
-        if not in_budget():
+        if not in_budget(big_need[n_db]):
             break
+        log(f"phase bigdb {n_db}")
         big = ContourDB(cfg, capacity=n_db)
         reps = -(-n_db // n_have)
         big.store = jax.tree.map(
@@ -293,13 +345,10 @@ def main():
             jax.block_until_ready(rec)
         dt_big[n_db] = (time.perf_counter() - t0) / 20 * 1e3
 
-        # phase 4b (budget-gated): map-serving throughput — localize a block
-        # of B3 raw point clouds against this frozen city-scale map in ONE
-        # dispatch (vmapped descriptor build + batched fused queries,
-        # db.localize_block_async / _localize_block)
-        if n_db in dt_loc_ms and in_budget():
-            from contour_context_tpu.db import _localize_block
-
+        # map-serving throughput: localize a block of B3 raw point clouds
+        # against this frozen city-scale map in ONE dispatch
+        if n_db in dt_loc_ms and in_budget(40 if n_db < 100000 else 90):
+            log(f"phase localize vs {n_db}")
             # B3=16 keeps the batched (B3, Q, A, N*A) distance tensor within
             # ~1 GB at 131k scans; larger serving batches chunk via lax.map
             B3 = 16
@@ -313,41 +362,86 @@ def main():
                 jax.block_until_ready(recs)
             dt_loc_ms[n_db] = (time.perf_counter() - t0) / (3 * B3) * 1e3
         del big
-    def rnd(v):
-        return round(v, 3) if v is not None else None
 
-    # results leave the device only now, after the timed region
-    results = drain_handles(handles)
-    for h in blk_handles:
-        results.extend(h.get())
-    n_found = sum(1 for r in results if r is not None)
+    # block-64: the throughput ceiling (last: most expensive one-off compile;
+    # measured cold cost ~130 s — compile + 192 scan renders + 3 uploads)
+    dt_blk64_ms = None
+    if in_budget(140):
+        log("phase block64")
+        B2 = 64
+        base = take_ids(3 * B2)
+        clouds64 = [pad_points(
+            render_scan(world, (4.0 * (i % n_out), -1.2, 0.05),
+                        seed=int(rng.integers(1 << 30))), cfg.cm.max_points)
+            for i in range(3 * B2)]
+        bb64 = jax.jit(jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
+        staged64 = [jax.device_put((np.stack(clouds64[k * B2:(k + 1) * B2]),
+                                    np.arange(base + k * B2,
+                                              base + (k + 1) * B2,
+                                              dtype=np.float32)))
+                    for k in range(3)]
+        jax.block_until_ready(staged64)
+        h = db.process_block_async(bb64(staged64[0][0]),
+                                   list(range(base, base + B2)), staged64[0][1])
+        jax.block_until_ready(h.recs)          # compile warm-up
+        blk_handles.append(h)
+        t0 = time.perf_counter()
+        hs64 = []
+        for k in (1, 2):
+            i0 = base + k * B2
+            hs64.append(db.process_block_async(
+                bb64(staged64[k][0]), list(range(i0, i0 + B2)), staged64[k][1]))
+        jax.block_until_ready(hs64[-1].recs)
+        dt_blk64_ms = (time.perf_counter() - t0) / (2 * B2) * 1e3
+        blk_handles.extend(hs64)
 
-    print(json.dumps({
-        "metric": "per-scan end-to-end loop-closure latency "
-                  "(synthetic KITTI-scale, 240-scan DB, device-resident "
-                  "stream, ONE fused dispatch per scan: descriptor + query "
-                  "+ append + temporal window)",
-        "value": round(dt_fused_ms, 3),
-        "fused_epochs_ms": [round(v, 3) for v in fused_epochs],
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / dt_fused_ms, 3),
-        "unfused_stream_ms": round(dt_dev_ms, 3),
-        "batched_block16_ms": round(dt_blk_ms, 3),
+    # every timing metric is known BEFORE any device->host fetch — emit the
+    # extended line NOW. The drain below pays the tunnel's one-time and
+    # highly variable (20-90 s measured) first-D2H mode switch, so the only
+    # data a late timeout can still lose is the loop-count tail line.
+    extended = dict(headline)
+    extended.update({
+        "unfused_stream_ms": rnd(dt_dev_ms),
+        "batched_block16_ms": rnd(dt_blk_ms),
         "batched_block64_ms": rnd(dt_blk64_ms),
         "query_8192scan_db_ms": rnd(dt_big[8192]),
         "query_32768scan_db_ms": rnd(dt_big[32768]),
         "query_131072scan_db_ms": rnd(dt_big[131072]),
         "localize_block16_vs_32768map_ms": rnd(dt_loc_ms[32768]),
         "localize_block16_vs_131072map_ms": rnd(dt_loc_ms[131072]),
-        "upload_f32_ms": round(dt_up_ms, 3),
+        "upload_f32_ms": rnd(dt_up_ms),
         "upload_q16_ms": rnd(dt_q16_ms),
-        "baseline_ms": BASELINE_MS,
-        "scans": len(results),
-        "loops_found": n_found,
+        "n_compiles": compile_counter.count,
+        "budget_s": budget_s,
+        "elapsed_s": round(time.perf_counter() - T0, 1),
         "note": "upload_* include per-scan H2D through this harness's "
                 "~40 MB/s / 25 ms-latency tunnel (prefetch-pipelined); a "
-                "production PCIe host makes them converge to `value`.",
-    }))
+                "production PCIe host makes them converge to `value`. "
+                "null secondary = skipped by CONT2_BENCH_BUDGET.",
+    })
+    print(json.dumps(extended), flush=True)
+
+    # the stream's records live in the DB's device record ring, so after the
+    # first-fetch mode switch the whole drain is ONE contiguous buffer copy
+    # (drain_handles fast path); only the q16 phase's standalone handles need
+    # the batched per-buffer fallback.
+    log("draining records (pays the first-D2H mode switch)")
+    from contour_context_tpu.db import drain_block_handles
+
+    results = drain_handles(handles)
+    drain_block_handles(blk_handles)
+    for h in blk_handles:
+        results.extend(h.get())
+    n_found = sum(1 for r in results if r is not None)
+
+    final = dict(extended)
+    final.update({
+        "scans": len(results),
+        "loops_found": n_found,
+        "elapsed_s": round(time.perf_counter() - T0, 1),
+    })
+    print(json.dumps(final), flush=True)
+    log("done")
 
 
 if __name__ == "__main__":
