@@ -54,6 +54,48 @@ def build_trajectory(n_scans: int, rng) -> list:
     return poses
 
 
+def aliasing_trajectory(cells, n_scans: int, rng) -> list:
+    """Visit every grid cell, then revisit them all — each revisit must be
+    matched to the RIGHT aliased cell."""
+    per_cell = max(2, n_scans // (2 * len(cells)))
+    poses = []
+    for lap in range(2):
+        for (cx, cy) in cells:
+            for k in range(per_cell):
+                poses.append((cx + 4.0 * k - 2.0 * per_cell
+                              + rng.uniform(-0.4, 0.4) + 0.8 * lap,
+                              cy + rng.uniform(-0.4, 0.4),
+                              rng.uniform(-0.1, 0.1) + 0.3 * lap))
+            if len(poses) >= (lap + 1) * n_scans // 2:
+                break
+    return poses[:n_scans]
+
+
+def naive_key_outcome(db, f_out: str, excl_frames: int) -> None:
+    """The ablation baseline VERDICT r1 asked for: nearest retrieval key
+    wins, no cascade, no GMM — score = 1/(1+min key distance^2). On worlds
+    with repeated structure this matcher confuses aliased places; the gap to
+    the full pipeline's curve measures what the cascade earns."""
+    import jax
+
+    keys = np.asarray(jax.device_get(db.store.keys))[: db.n]
+    lv = list(db.cfg.db.q_levels)
+    K = keys[:, lv].reshape(db.n, -1, keys.shape[-1]).astype(np.float64)
+    valid = np.abs(K).sum(-1) > 0                      # (N, QA)
+    lines = []
+    for i in range(excl_frames + 1, db.n):
+        cand = K[: i - excl_frames]
+        cv = valid[: i - excl_frames]
+        if not cv.any() or not valid[i].any():
+            continue
+        d2 = ((K[i][None, :, None, :] - cand[:, None, :, :]) ** 2).sum(-1)
+        d2 = np.where(cv[:, None, :] & valid[i][None, :, None], d2, np.inf)
+        d2s = d2.reshape(len(cand), -1).min(-1)
+        j = int(np.argmin(d2s))
+        lines.append("0\t%d-%d\t%f\t0 0 0" % (i, j, 1.0 / (1.0 + d2s[j])))
+    open(f_out, "w").write("\n".join(lines))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir", nargs="?", default="results/synth_bench")
@@ -68,25 +110,54 @@ def main():
     ap.add_argument("--mulran", action="store_true",
                     help="MulRan operating point (taller structures, "
                          "lv_grads (1,2.5,...,8.5), ta_h_bar 0.75)")
+    ap.add_argument("--world", choices=("boxes", "occluded", "aliasing"),
+                    default="boxes",
+                    help="boxes: the r1 sample-everything world; occluded: "
+                         "2-D raycast LiDAR model (occlusion + ring-geometry "
+                         "density falloff); aliasing: grid of identical "
+                         "motifs — key-only matching fails, the cascade "
+                         "must disambiguate")
+    ap.add_argument("--dynamic", type=int, default=0, metavar="N",
+                    help="N transient clutter boxes per scan (occluded/"
+                         "aliasing worlds; re-sampled every scan)")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="fraction of returns dropped (occluded renderer)")
+    ap.add_argument("--also-naive", action="store_true",
+                    help="also score the key-only nearest-neighbor baseline "
+                         "(no cascade/GMM) for comparison")
+    ap.add_argument("--plot", help="save overlaid PR curves to this path")
     args = ap.parse_args()
 
-    from synth import make_world, render_scan, se3_from_xyt
+    from synth import (make_aliasing_world, make_world, render_scan,
+                       render_scan_lidar, se3_from_xyt)
 
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
     from contour_context_tpu.eval.pr_mpe import score_outcome
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    world = make_world(args.seed, n_structs=260, extent=180.0)
+    if args.world == "aliasing":
+        world, cells = make_aliasing_world(args.seed)
+        poses = aliasing_trajectory(cells, args.scans, rng)
+    else:
+        world = make_world(args.seed, n_structs=260, extent=180.0)
+        poses = build_trajectory(args.scans, rng)
     if args.mulran:
         world[:, 4] *= 2.2   # taller structures to exercise the MulRan ladder
-    poses = build_trajectory(args.scans, rng)
+
+    if args.world == "boxes":
+        def render(w, p, seed):
+            return render_scan(w, p, seed=seed)
+    else:
+        def render(w, p, seed):
+            return render_scan_lidar(w, p, seed=seed, n_dynamic=args.dynamic,
+                                     dropout=args.dropout)
 
     bin_dir = os.path.join(args.out_dir, "bins")
     os.makedirs(bin_dir, exist_ok=True)
     pose_lines, lid_lines = [], []
     for i, p in enumerate(poses):
-        pts = render_scan(world, p, seed=int(rng.integers(1 << 30)))
+        pts = render(world, p, seed=int(rng.integers(1 << 30)))
         arr = np.zeros((len(pts), 4), np.float32)
         arr[:, :3] = pts
         bp = os.path.join(bin_dir, "%06d.bin" % i)
@@ -167,8 +238,11 @@ def main():
     tp = sum(1 for r in pipe.results if r.tfpn == 0)
     fp = sum(1 for r in pipe.results if r.tfpn == 1)
     fn = sum(1 for r in pipe.results if r.tfpn == 3)
-    print("\nsynth benchmark: %d scans in %.1fs (%.1f ms/scan incl. host IO)"
-          % (args.scans, wall, wall / args.scans * 1e3))
+    print("\nsynth benchmark [%s world%s]: %d scans in %.1fs "
+          "(%.1f ms/scan incl. host IO)"
+          % (args.world,
+             ", %d dynamic objs" % args.dynamic if args.dynamic else "",
+             args.scans, wall, wall / args.scans * 1e3))
     print("TFPN @ thres %.5f: tp=%d fp=%d fn=%d" %
           (cfg.correlation_thres, tp, fp, fn))
     print("max-F1 %.4f @ %.4f | recall@P=1 %.4f | TP trans mean %.3f m "
@@ -176,6 +250,23 @@ def main():
           % (res.max_f1, res.max_f1_thres, res.recall_at_p1, res.trans_mean,
              res.trans_rmse, res.rot_mean_deg, res.rot_rmse_deg, res.tp_count))
     print("counters:", pipe.db.counters)
+
+    if args.also_naive:
+        f_naive = os.path.join(args.out_dir, "outcome-naive.txt")
+        naive_key_outcome(pipe.db, f_naive, excl_frames=15)
+        res_n = score_outcome(f_pose, f_naive, excl_frames=15)
+        print("key-only baseline: max-F1 %.4f | recall@P=1 %.4f "
+              "(full pipeline earns +%.4f F1)"
+              % (res_n.max_f1, res_n.recall_at_p1, res.max_f1 - res_n.max_f1))
+        if args.plot:
+            from contour_context_tpu.eval.pr_mpe import plot_pr_curves
+            plot_pr_curves([res, res_n], ["full pipeline", "key-only"],
+                           args.plot)
+            print("PR curves ->", args.plot)
+    elif args.plot:
+        from contour_context_tpu.eval.pr_mpe import plot_pr_curves
+        plot_pr_curves([res], ["full pipeline"], args.plot)
+        print("PR curve ->", args.plot)
 
 
 if __name__ == "__main__":
