@@ -590,3 +590,171 @@ def gmm_correlation(src: GmmModel, tgt: GmmModel, sel, params, cfg: GMMOptConfig
     if denom <= 0:
         return 0.0
     return -gmm_cost(src, tgt, sel, params, cfg) / denom
+
+
+# ---------------------------------------------------------------------------
+# TreeBucket / LayerDB pop-schedule replica (temporal-window STAGGER spec)
+# ---------------------------------------------------------------------------
+# The reference makes keys searchable through per-bucket buffers popped one
+# adjacent bucket PAIR per scan on a triangle-wave schedule
+# (ContourDB::pushAndBalance, contour_db.h:827-843; LayerDB::rebuild,
+# contour_db.cpp:63-317; TreeBucket buffering, contour_db.h:102-143). The TPU
+# DB replaces this with a single global searchable prefix
+# (db._update_window_impl). This replica exists so a test can DRIVE both
+# models over a long trace and bound their searchable-set divergence
+# (tests/test_window_stagger.py).
+#
+# Faithfully replicated: bucket ranges evolving through rebalance splits
+# (incl. the contagious-value search), buffer redistribution across the new
+# split, per-bucket needPopBuffer/popBufferMax timing, and the triangle-wave
+# pair schedule. Only key[0] (bucket_chann_, contour_db.h:163) matters for
+# scheduling, so entries are (k0, ts, id) triples.
+
+MAX_BUCKET_VAL = 1000.0        # contour_db.h:29
+MIN_ELEM_SPLIT = 100           # contour_db.h:160
+IMBA_DIFF_RATIO = 0.2          # contour_db.h:161
+NUM_BUCKETS = 6                # contour_db.h:162
+
+
+class RefLayerDB:
+    """One LayerDB: 6 TreeBuckets over key[0] ranges (contour_db.h:159-217)."""
+
+    def __init__(self, min_elapse: float = 15.0, max_elapse: float = 25.0):
+        self.min_elapse = min_elapse
+        self.max_elapse = max_elapse
+        # bucket_ranges_: [-MAX, MAX, MAX, ..., MAX] (contour_db.h:168-178)
+        self.ranges = [-MAX_BUCKET_VAL] + [MAX_BUCKET_VAL] * NUM_BUCKETS
+        self.tree = [[] for _ in range(NUM_BUCKETS)]   # popped (k0, id)
+        self.buf = [[] for _ in range(NUM_BUCKETS)]    # buffered (k0, ts, id)
+        # divergence instrumentation (not in the reference): the driver may
+        # set `clock` to the current scan index; each buffer->tree pop
+        # records it, so tests can compare per-key searchability timing
+        # against the TPU DB's global-prefix model without O(N^2) set diffs
+        self.clock = -1
+        self.pop_log = {}                              # id -> clock at pop
+
+    def push_buffer(self, k0: float, ts: float, ident) -> None:
+        """LayerDB::pushBuffer (contour_db.h:184-192): route by range."""
+        for i in range(NUM_BUCKETS):
+            if self.ranges[i] <= k0 < self.ranges[i + 1]:
+                self.buf[i].append((k0, ts, ident))
+                return
+
+    def _need_pop(self, b: int, ts: float) -> bool:
+        """TreeBucket::needPopBuffer (contour_db.h:102-107)."""
+        return bool(self.buf[b]) and self.buf[b][0][1] <= ts - self.max_elapse
+
+    def _pop_max(self, b: int, ts: float) -> None:
+        """TreeBucket::popBufferMax (contour_db.h:121-143): move entries with
+        ts < cutoff into the tree (buffer is ts-sorted)."""
+        cut = ts - self.min_elapse
+        gap = 0
+        while gap < len(self.buf[b]) and self.buf[b][gap][1] < cut:
+            gap += 1
+        for k0, _, ident in self.buf[b][:gap]:
+            self.tree[b].append((k0, ident))
+            self.pop_log[ident] = self.clock
+        del self.buf[b][:gap]
+
+    def rebuild(self, idx: int, ts: float) -> None:
+        """LayerDB::rebuild (contour_db.cpp:63-317) on buckets idx, idx+1."""
+        pb1, pb2 = self._need_pop(idx, ts), self._need_pop(idx + 1, ts)
+        if not pb1 and not pb2:
+            return
+        sz1, sz2 = len(self.tree[idx]), len(self.tree[idx + 1])
+        diff_ratio = abs(sz1 - sz2) / max(sz1, sz2) if max(sz1, sz2) else 0.0
+        small = diff_ratio < IMBA_DIFF_RATIO or max(sz1, sz2) < MIN_ELEM_SPLIT
+        if pb1 and not pb2 and small:
+            self._pop_max(idx, ts)
+            return
+        if not pb1 and pb2 and small:
+            self._pop_max(idx + 1, ts)
+            return
+        if diff_ratio < 0.5 * IMBA_DIFF_RATIO:
+            if pb1:
+                self._pop_max(idx, ts)
+            if pb2:
+                self._pop_max(idx + 1, ts)
+            return
+        # balance: move ~half the surplus across a split value, avoiding
+        # splitting runs of equal k0 ("contagious values",
+        # contour_db.cpp:100-298); then redistribute buffers and pop both
+        if sz1 > sz2:
+            src, dst, big = idx, idx + 1, self.tree[idx]
+        else:
+            src, dst, big = idx + 1, idx, self.tree[idx + 1]
+        n_big, n_small = max(sz1, sz2), min(sz1, sz2)
+        to_move_max = int((n_big - n_small + IMBA_DIFF_RATIO * n_small)
+                          / (2 - IMBA_DIFF_RATIO))
+        to_move_mid = int((n_big - n_small) / 2.0)
+        to_move_min = max(0, int((n_big - n_small - IMBA_DIFF_RATIO * n_big)
+                                 / (2 - IMBA_DIFF_RATIO)))
+        # keys of the big bucket nearest the split move first: sort ascending
+        # by k0; moving from the high side when src < dst index-wise means
+        # src has the LOWER range (tr1) -> move its LARGEST keys, and vice
+        # versa (the two C++ branches sort in opposite directions)
+        order = sorted(range(n_big), key=lambda i: big[i][0],
+                       reverse=(src > dst))
+        # order[n_big - 1 - j] is the j-th key to move (the C++ walks
+        # sort_permu from the back)
+        kv = lambda j: big[order[n_big - j]][0]
+        num_to_move = 0
+        split_val = None
+        if kv(to_move_mid) != kv(to_move_mid + 1):
+            num_to_move = to_move_mid
+            # tr1 keeps ( , split], tr2 gets [split, ): the split value is
+            # the first moved key when moving upward, the last kept when
+            # moving downward (contour_db.cpp:115-118 vs 209-211)
+            split_val = kv(to_move_mid) if src < dst else kv(to_move_mid + 1)
+        else:
+            contagious = kv(to_move_mid)
+            i = to_move_mid - 1
+            while i > to_move_min:
+                if kv(i) != contagious:
+                    num_to_move = i
+                    split_val = kv(i) if src < dst else contagious
+                    break
+                i -= 1
+            if num_to_move == 0:
+                i = to_move_mid + 1
+                while i < to_move_max:
+                    if kv(i) != contagious:
+                        num_to_move = i - 1
+                        split_val = contagious if src < dst else kv(i)
+                        break
+                    i += 1
+        if num_to_move == 0:
+            # cannot split a contagious strip (contour_db.cpp:138-147)
+            if pb1 or src == idx:
+                self._pop_max(idx, ts)
+            if pb2 or src == idx + 1:
+                self._pop_max(idx + 1, ts)
+            return
+        moved = [order[n_big - 1 - j] for j in range(num_to_move)]
+        moved_set = set(moved)
+        self.tree[dst].extend(big[i] for i in moved)
+        self.tree[src] = [e for i, e in enumerate(big) if i not in moved_set]
+        # buffer redistribution across the new split (contour_db.cpp:168-188)
+        if src < dst:
+            keep = [e for e in self.buf[src] if e[0] < split_val]
+            move = [e for e in self.buf[src] if e[0] >= split_val]
+        else:
+            keep = [e for e in self.buf[src] if e[0] >= split_val]
+            move = [e for e in self.buf[src] if e[0] < split_val]
+        self.buf[src] = sorted(keep, key=lambda e: e[1])
+        self.buf[dst] = sorted(self.buf[dst] + move, key=lambda e: e[1])
+        self.ranges[idx + 1] = split_val
+        self._pop_max(idx, ts)
+        self._pop_max(idx + 1, ts)
+
+    def searchable_ids(self) -> set:
+        return {ident for b in self.tree for _, ident in b}
+
+
+def triangle_pair_index(seed: int) -> int:
+    """pushAndBalance's bucket-pair schedule (contour_db.h:828-830):
+    0,1,2,3,4,3,2,1,0,1,... (period 8 for 6 buckets)."""
+    idx = abs(seed) % (2 * (NUM_BUCKETS - 2))
+    if idx > NUM_BUCKETS - 2:
+        idx = 2 * (NUM_BUCKETS - 2) - idx
+    return idx
