@@ -53,6 +53,10 @@ class OnlineSpinner:
         self.drain_block = drain_block
         self.detections: List[LoopDetection] = []
         self.n_processed = 0
+        # scans left unprocessed when the loop exits (terminate, or
+        # end-of-stream while paused): a truncated stream must be
+        # distinguishable from a clean finish
+        self.dropped = 0
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._paused = threading.Event()
         self._terminate = threading.Event()
@@ -182,4 +186,10 @@ class OnlineSpinner:
             self._pending.append((seq, h))
             if len(self._pending) >= 2 * self.drain_block:
                 self._drain(self.drain_block)
+        while True:         # count scans the exit left in the queue
+            try:
+                if self._q.get_nowait() is not None:
+                    self.dropped += 1
+            except queue.Empty:
+                break
         self._drain(len(self._pending))

@@ -172,10 +172,15 @@ def test_finish_while_paused_does_not_deadlock():
     sp.start()
     sp.pause()
     pts = np.zeros((100, 3), np.float32)
-    while sp.feed(pts, 0, 0.0, timeout=0.05):   # fill the queue
-        pass
+    n_fed = 0
+    while sp.feed(pts, n_fed, float(n_fed), timeout=0.05):  # fill the queue
+        n_fed += 1
     sp.finish()                                  # must not hang
     assert sp._thread is not None and not sp._thread.is_alive()
+    # every fed scan is accounted for: processed before the pause landed, or
+    # counted as dropped by the eos-while-paused exit (never silently lost)
+    assert sp.n_processed + sp.dropped == n_fed
+    assert sp.dropped > 0                        # the queue was full at exit
 
 
 def test_spin_error_reraised_by_finish():
