@@ -369,7 +369,12 @@ def make_bcis(tab: dict, anch_valid: jnp.ndarray, cfg: ContourManagerConfig):
 
     anchor_mean = mean[:, :A]                           # (L, A, 2)
     lay_idx = jnp.array(DIST_BIN_LAYERS, jnp.int32)     # (4,)
-    nei_mean = mean[lay_idx][:, :J]                     # (4, J, 2)
+    nei_mean = mean[lay_idx][:, :J]                     # (4, <=J, 2)
+    if nei_mean.shape[1] < J:   # max_contours < dist_firsts: pad the slot
+        # axis to J (padded slots are masked by nei_exists, which counts
+        # real contours), keeping the (L, A, 4*J) table shape config-stable
+        nei_mean = jnp.pad(nei_mean,
+                           ((0, 0), (0, J - nei_mean.shape[1]), (0, 0)))
     nei_exists = (jnp.arange(J)[None, :] <
                   jnp.minimum(J, n_cont[lay_idx])[:, None])  # (4, J)
 
