@@ -28,7 +28,7 @@ from contour_context_tpu.utils.profiling import SequentialTimeProfiler
 DRAIN_BLOCK = 4096   # pending-record bound before a mid-stream drain
 # Mid-stream drains are a last-resort memory bound: on tunneled runtimes the
 # FIRST device->host fetch permanently degrades dispatch latency (see README),
-# so the pipeline holds the tiny (16-float) records on device and drains once
+# so the pipeline holds the tiny (18-float) records on device and drains once
 # at the end of the stream. Use OnlineSpinner when per-scan results are needed
 # live.
 
