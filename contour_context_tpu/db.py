@@ -147,6 +147,44 @@ def _key_distances(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...]):
     return jnp.where(ok, d2, MAX_DIST_SQ), q_f
 
 
+TOPK_BLOCK = 4096   # two-stage min-k block width (see _topk_min)
+
+
+def _topk_min(d2m, k: int):
+    """Exact min-k over the last axis, ascending, ties by lower index —
+    identical results to `-lax.top_k(-d2m, k)` at every size.
+
+    For large rows the single-stage XLA TopK over the full (Q, A, N*A)
+    distance matrix is the city-scale bottleneck (sort-based lowering:
+    ~38 ms at 4.7M keys on one v5e chip vs a ~0.2 ms HBM read floor), so
+    rows >= 4*TOPK_BLOCK switch to an exact two-stage reduction: per-block
+    min-k over TOPK_BLOCK-wide tiles, then min-k over the B*k block winners.
+    Exactness incl. tie order: top_k breaks value ties by lower index, and
+    the block-major flattening preserves global index order, so the stage-2
+    selection reproduces the single-stage choice element-for-element (ties
+    within a block keep their stage-1 order; ties across blocks resolve by
+    block order = global order). Padding (when M % TOPK_BLOCK != 0) uses
+    MAX_DIST_SQ at indices >= M: real entries of equal value precede padding
+    in tie order, and M >> k, so padding is never selected."""
+    M = d2m.shape[-1]
+    if M < 4 * TOPK_BLOCK:
+        neg, idx = jax.lax.top_k(-d2m, k)
+        return -neg, idx.astype(jnp.int32)
+    C = TOPK_BLOCK
+    pad = (-M) % C
+    if pad:
+        d2m = jnp.pad(d2m, ((0, 0),) * (d2m.ndim - 1) + ((0, pad),),
+                      constant_values=MAX_DIST_SQ)
+    B = (M + pad) // C
+    lead = d2m.shape[:-1]
+    neg1, idx1 = jax.lax.top_k(-d2m.reshape(lead + (B, C)), k)
+    base = jnp.arange(B, dtype=jnp.int32) * C
+    gidx1 = (idx1.astype(jnp.int32) + base[..., None]).reshape(lead + (B * k,))
+    neg2, idx2 = jax.lax.top_k(neg1.reshape(lead + (B * k,)), k)
+    idx = jnp.take_along_axis(gidx1, idx2, axis=-1)
+    return -neg2, idx
+
+
 def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
                  nnk: int):
     """db_keys (N, L, A, 10); q_keys (L, A, 10) -> hits per (q_level, seq).
@@ -162,8 +200,7 @@ def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
           + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
           + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))
     nnk = min(nnk, N * A)   # tiny DBs have fewer rows than the k bound
-    neg, idx = jax.lax.top_k(-d2m, nnk)                     # ascending distance
-    dist = -neg
+    dist, idx = _topk_min(d2m, nnk)                         # ascending distance
     valid = dist < jnp.minimum(ub[..., None], MAX_DIST_SQ)
     gidx = idx // A
     seq_src = idx % A
@@ -480,6 +517,22 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
     return _query_step_impl(store, query, state[1], pcfg)
 
 
+def _scan_step_impl(store: ScanDesc, ts_store, state, recs_store, points, ts,
+                    pcfg: PipelineConfig):
+    """Body of the fused per-scan streaming step (see _scan_step)."""
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
+    rec = _query_step_impl(store, desc, state[1], pcfg)
+    recs_store = jax.lax.dynamic_update_slice(
+        recs_store, rec[None].astype(recs_store.dtype), (state[0], 0))
+    store, ts_store, state = _append_impl(store, ts_store, state, desc, ts)
+    tb = pcfg.db.tb
+    state = _update_window_impl(state, ts_store, ts, tb.min_elapse,
+                                tb.max_elapse)
+    return store, ts_store, state, recs_store, rec
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
                    static_argnames=("pcfg",))
 def _scan_step(store: ScanDesc, ts_store, state, recs_store, points, ts,
@@ -501,17 +554,38 @@ def _scan_step(store: ScanDesc, ts_store, state, recs_store, points, ts,
     is in post-first-fetch mode (see drain_handles).
     Returns (store', ts_store', state', recs_store', packed record).
     """
-    from contour_context_tpu.ops.descriptor import build_descriptor
+    return _scan_step_impl(store, ts_store, state, recs_store, points, ts,
+                           pcfg)
 
-    desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
-    rec = _query_step_impl(store, desc, state[1], pcfg)
-    recs_store = jax.lax.dynamic_update_slice(
-        recs_store, rec[None].astype(recs_store.dtype), (state[0], 0))
-    store, ts_store, state = _append_impl(store, ts_store, state, desc, ts)
-    tb = pcfg.db.tb
-    state = _update_window_impl(state, ts_store, ts, tb.min_elapse,
-                                tb.max_elapse)
-    return store, ts_store, state, recs_store, rec
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("pcfg",))
+def _step_chain(store: ScanDesc, ts_store, state, recs_store, points_k, ts_k,
+                pcfg: PipelineConfig):
+    """K sequential fused per-scan steps in ONE dispatch (lax.scan over
+    _scan_step_impl).
+
+    Unlike _process_block (which batches the B queries and relies on the
+    >= min_elapse temporal-exclusion theorem for intra-block independence),
+    this replays the per-scan step EXACTLY — query_i sees every append and
+    window update of scans < i regardless of timestamp spacing — so it is
+    valid for arbitrary (even sub-second) timestamp gaps. Throughput mode
+    for sequential semantics; also the timing primitive for honest device-
+    time measurement on high-latency tunnels: K steps amortize the dispatch
+    + sync overhead of a single call, so differencing two K values isolates
+    pure device time (bench.py headline).
+
+    Returns (store', ts_store', state', recs_store', records (K, W)).
+    """
+    def body(carry, x):
+        pts, t = x
+        store, ts_store, state, recs_store, rec = _scan_step_impl(
+            *carry, pts, t, pcfg)
+        return (store, ts_store, state, recs_store), rec
+
+    (store, ts_store, state, recs_store), recs = jax.lax.scan(
+        body, (store, ts_store, state, recs_store), (points_k, ts_k))
+    return store, ts_store, state, recs_store, recs
 
 
 def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
@@ -537,24 +611,9 @@ def _localize_block(store: ScanDesc, state, points_b, pcfg: PipelineConfig):
     return jax.vmap(lambda q: _query_step_impl(store, q, state[1], pcfg))(descs)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
-                   static_argnames=("pcfg",))
-def _process_block(store: ScanDesc, ts_store, state, recs_store,
-                   descs: ScanDesc, ts_b, pcfg: PipelineConfig):
-    """Batched throughput mode: append + query a block of B scans at once.
-
-    EXACT sequential parity: the reference's per-scan order is
-    query_i (window after pushes <= i-1) -> add_i -> push(t_i); scans are
-    appended first (their timestamps exceed every query's min_elapse cut, so
-    they are invisible to the block's searches — the >=15 s exclusion window
-    makes intra-block independence a theorem, SURVEY.md §2.6), then each
-    query's searchable prefix is replayed with a scan over the window updates,
-    and the B queries run under vmap.
-
-    Returns (store', ts_store', state', recs_store', records
-    (B, RECORD_WIDTH)); the records are also written into the `recs_store`
-    ring at the block's rows (see _scan_step).
-    """
+def _process_block_impl(store: ScanDesc, ts_store, state, recs_store,
+                        descs: ScanDesc, ts_b, pcfg: PipelineConfig):
+    """Body of the batched block step (see _process_block)."""
     B = ts_b.shape[0]
     tb = pcfg.db.tb
     row0 = state[0]
@@ -579,6 +638,49 @@ def _process_block(store: ScanDesc, ts_store, state, recs_store,
         in_axes=(0, 0))(descs, searchable_b)
     recs_store = jax.lax.dynamic_update_slice(
         recs_store, recs.astype(recs_store.dtype), (row0, 0))
+    return store, ts_store, state, recs_store, recs
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("pcfg",))
+def _process_block(store: ScanDesc, ts_store, state, recs_store,
+                   descs: ScanDesc, ts_b, pcfg: PipelineConfig):
+    """Batched throughput mode: append + query a block of B scans at once.
+
+    EXACT sequential parity: the reference's per-scan order is
+    query_i (window after pushes <= i-1) -> add_i -> push(t_i); scans are
+    appended first (their timestamps exceed every query's min_elapse cut, so
+    they are invisible to the block's searches — the >=15 s exclusion window
+    makes intra-block independence a theorem, SURVEY.md §2.6), then each
+    query's searchable prefix is replayed with a scan over the window updates,
+    and the B queries run under vmap.
+
+    Returns (store', ts_store', state', recs_store', records
+    (B, RECORD_WIDTH)); the records are also written into the `recs_store`
+    ring at the block's rows (see _scan_step).
+    """
+    return _process_block_impl(store, ts_store, state, recs_store, descs,
+                               ts_b, pcfg)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("pcfg",))
+def _block_chain(store: ScanDesc, ts_store, state, recs_store,
+                 descs_nb: ScanDesc, ts_nb, pcfg: PipelineConfig):
+    """NB sequential block steps in ONE dispatch (lax.scan over
+    _process_block_impl); `descs_nb` is (NB, B)-stacked, `ts_nb` (NB, B).
+
+    The honest-timing primitive for block throughput on high-latency
+    tunnels (see _step_chain): differencing two NB values isolates pure
+    per-block device time. Returns (..., records (NB, B, W))."""
+    def body(carry, x):
+        descs, ts_b = x
+        store, ts_store, state, recs_store, recs = _process_block_impl(
+            *carry, descs, ts_b, pcfg)
+        return (store, ts_store, state, recs_store), recs
+
+    (store, ts_store, state, recs_store), recs = jax.lax.scan(
+        body, (store, ts_store, state, recs_store), (descs_nb, ts_nb))
     return store, ts_store, state, recs_store, recs
 
 
@@ -1187,6 +1289,32 @@ class ContourDB:
                                 jnp.asarray(ts_b, jnp.float32), self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += B
+        return BlockHandle(recs, self, row0=row0)
+
+    def step_chain_async(self, points_k, seqs, ts_k) -> "BlockHandle":
+        """K sequential fused steps in ONE dispatch (see _step_chain).
+
+        `points_k` is (K, max_points, 4) (f32 or q16 wire format), `ts_k`
+        a (K,) f32 of timestamps. Exact per-scan sequential semantics for
+        ANY timestamp spacing (unlike process_block_async, which requires
+        the >= min_elapse gap for its batched-query parity). One upload +
+        one dispatch per K scans: the lowest-overhead sequential path."""
+        K = int(ts_k.shape[0])
+        assert K == len(seqs)
+        if self.store is None:
+            self._init_store()
+        self._ensure_capacity(K)
+        assert self.n + K <= self.capacity, "DB capacity exceeded"
+        if self.recs_store is None:
+            self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
+                                        jnp.float32)
+        row0 = self.n
+        (self.store, self.ts_store, self.state, self.recs_store,
+         recs) = _step_chain(self.store, self.ts_store, self.state,
+                             self.recs_store, points_k,
+                             jnp.asarray(ts_k, jnp.float32), self.cfg)
+        self.seq_of_gidx.extend(int(s) for s in seqs)
+        self.n += K
         return BlockHandle(recs, self, row0=row0)
 
     def localize_block_async(self, points_b,

@@ -135,3 +135,58 @@ def test_block_matches_sequential():
     assert n_found >= 2, seq_results
     assert db_blk.n == db_seq.n
     assert db_blk.searchable_n == db_seq.searchable_n
+
+
+@pytest.mark.slow
+def test_step_chain_matches_step_async():
+    """ONE-dispatch K-step chain (lax.scan over the fused step) must equal
+    K sequential step_async dispatches record-for-record — including with
+    IRREGULAR sub-window timestamp gaps, where process_block_async's
+    batched-query independence theorem does not apply."""
+    import jax.numpy as jnp
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses += [(10.0 * (7 - i) + 0.5, 0.8, 0.15) for i in range(8)]
+    # irregular gaps: bursts of 1-2 s mixed with >15 s jumps, so the
+    # searchable window genuinely shifts mid-chain
+    gaps = [1.0, 2.0, 16.0, 1.0, 30.0, 1.5, 1.0, 20.0,
+            2.0, 16.0, 1.0, 1.0, 25.0, 2.0, 1.0, 18.0]
+    ts = np.cumsum(gaps).astype(np.float32)
+
+    clouds = np.stack([
+        pad_points(render_scan(world, p, seed=500 + i), cfg.cm.max_points)
+        for i, p in enumerate(poses)])
+
+    db_seq = ContourDB(cfg, capacity=32)
+    seq_recs = []
+    for i in range(len(poses)):
+        h = db_seq.step_async(jnp.asarray(clouds[i]), i, float(ts[i]))
+        seq_recs.append(h.get())
+
+    db_ch = ContourDB(cfg, capacity=32)
+    h1 = db_ch.step_chain_async(jnp.asarray(clouds[:7]), list(range(7)),
+                                ts[:7])
+    h2 = db_ch.step_chain_async(jnp.asarray(clouds[7:]),
+                                list(range(7, len(poses))), ts[7:])
+    chain_recs = h1.get() + h2.get()
+
+    assert len(seq_recs) == len(chain_recs)
+    n_found = 0
+    for i, (rs, rc) in enumerate(zip(seq_recs, chain_recs)):
+        if rs is None:
+            assert rc is None, (i, rc)
+            continue
+        assert rc is not None, (i, rs)
+        n_found += 1
+        assert rs[0] == rc[0], (i, rs, rc)
+        np.testing.assert_allclose(rc[1], rs[1], rtol=1e-4)
+        np.testing.assert_allclose(rc[2], rs[2], rtol=1e-4, atol=1e-5)
+    assert n_found >= 2, seq_recs
+    assert db_ch.n == db_seq.n
+    assert db_ch.searchable_n == db_seq.searchable_n
+    # the chain wrote the same rows into the device record ring
+    np.testing.assert_allclose(np.asarray(db_ch.recs_store[:db_ch.n]),
+                               np.asarray(db_seq.recs_store[:db_seq.n]),
+                               rtol=1e-4, atol=1e-5)

@@ -24,6 +24,36 @@ def _descs(n, world=None, step=10.0):
     return world, out
 
 
+def test_topk_min_two_stage_exact():
+    """_topk_min's two-stage path (rows >= 4*TOPK_BLOCK) must equal the
+    single-stage lax.top_k element-for-element — values, indices, AND tie
+    order — including a non-divisible (padded) width and duplicate values."""
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import MAX_DIST_SQ, TOPK_BLOCK, _topk_min
+
+    rng = np.random.default_rng(7)
+    k = 50
+    for M in (4 * TOPK_BLOCK, 4 * TOPK_BLOCK + 1234, 98304):
+        d = rng.uniform(0.0, 4.0, (3, 2, M)).astype(np.float32)
+        # heavy value ties: quantize a stripe, and mask a block at MAX
+        d[:, :, ::7] = np.round(d[:, :, ::7] * 4) / 4
+        d[:, 1, 1000:40000] = MAX_DIST_SQ
+        d = jnp.asarray(d)
+        ref_neg, ref_idx = jax.lax.top_k(-d, k)
+        got_d, got_i = _topk_min(d, k)
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(-ref_neg),
+                                      err_msg=f"M={M}")
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_idx),
+                                      err_msg=f"M={M}")
+    # below the threshold: the single-stage path, trivially identical
+    d = jnp.asarray(rng.uniform(0.0, 4.0, (2, 2, 1440)).astype(np.float32))
+    got_d, got_i = _topk_min(d, k)
+    ref_neg, ref_idx = jax.lax.top_k(-d, k)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_idx))
+
+
 @pytest.mark.slow
 def test_db_grow():
     world, descs = _descs(6)
