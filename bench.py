@@ -3,28 +3,35 @@
 Measures the full per-scan pipeline in steady state on synthetic KITTI-scale
 scans against a populated database:
 
-  upload points+ts -> descriptor build (device) -> fused query step (device,
-  one dispatch: search + cascade + proposal merge + GMM refine) -> DB append
-  + temporal window update (device).
+  points -> descriptor build (device) -> fused query (device, one fused
+  graph: search + cascade + proposal merge + GMM refine) -> DB append +
+  temporal window update (device).
 
-The steady-state loop performs NO device->host transfers: query results are
-tiny packed records accumulated on device and fetched once after the timed
-region (on this harness's tunneled TPU runtime, the first D2H transfer
-permanently switches the process into a degraded mode where every dispatch
-costs ~40 ms — so production epochs must be fetch-free; see README).
+METHODOLOGY (round 2 — honest device time). On this harness's tunneled TPU
+runtime `jax.block_until_ready` does NOT reliably wait for device completion
+(r1's enqueue-side numbers implied >1 TB/s of HBM reads per query at the
+131k-scan scale — physically impossible on one v5e chip). Every headline and
+scaling number below is therefore measured as PURE DEVICE TIME by chaining K
+data-dependent iterations of the work inside ONE dispatch (lax.scan) and
+differencing two K values, with a real device_get as the sync point: the
+dispatch overhead, RPC latency and fetch cost are identical for both K and
+cancel exactly, leaving (t_big - t_small) / (K_big - K_small) of pure device
+compute. This is immune to enqueue-side underestimation AND to the tunnel's
+post-first-fetch degraded mode (everything timed is a single dispatch).
+
+The legacy enqueue-side stream figure is kept as `fused_stream_enqueue_ms`
+(it is what a low-latency production host's submission loop would look like,
+and the r1 point of comparison) but is clearly labeled enqueue-side.
 
 Compares with the reference's single-thread C++ baseline on KITTI 08
 (10.8-11.2 ms/scan end-to-end, log/timing_cont2_paper.txt — see BASELINE.md).
-The headline `value` is the device-resident FUSED stream (db.step_async: ONE
-dispatch per scan).
 
 Output protocol (robust to driver-side timeouts): the HEADLINE JSON line is
-printed and flushed the moment the fused measurement exists — before any
-secondary phase runs — so a timeout later can no longer lose the round's
-number. Every secondary phase (upload, unfused, block, big-DB, map serving)
-is budget-gated by CONT2_BENCH_BUDGET (wall seconds, including compile and
-fill time); when all gated phases finish, ONE extended JSON line with the
-same headline fields plus the secondary metrics is printed last. Progress
+printed and flushed the moment the fused device-time measurement exists.
+Secondary phases (block mode, big-DB query scaling, map serving) are
+budget-gated by CONT2_BENCH_BUDGET (wall seconds, including compile and fill
+time); when all gated phases finish, ONE extended JSON line with the same
+headline fields plus the secondary metrics is printed last. Progress
 narration goes to stderr only.
 """
 
@@ -64,6 +71,8 @@ def main():
     sys.path.insert(0, "tests")
     from synth import make_world, render_scan
 
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +91,9 @@ def main():
         pass
 
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
-    from contour_context_tpu.db import ContourDB, drain_handles
+    from contour_context_tpu.db import (ContourDB, _localize_block,
+                                        _query_step_impl, drain_block_handles,
+                                        drain_handles)
     from contour_context_tpu.ops.descriptor import build_descriptor
     from contour_context_tpu.utils.io import pad_points
 
@@ -90,20 +101,24 @@ def main():
     rng = np.random.default_rng(0)
     world = make_world(1, n_structs=300, extent=400.0)
 
-    n_fill = 60      # warm-up scans pre-inserted into the DB
-    n_meas = 60      # measured steady-state scans per phase
+    K_FILL = 132     # warm-up scans, also the big timing chain length
+    K_SMALL = 12     # small timing chain length
+    N_ENQ = 60       # enqueue-side legacy epoch length
 
-    # capacity: fill + 3 fused epochs + upload + unfused + block16 + block64
-    db = ContourDB(cfg, capacity=n_fill + 5 * n_meas + 48 + 192)
-    n_tot = n_fill + 2 * n_meas
+    # capacity: fill + chain compiles/reps + enqueue epoch + block16 phase
+    db = ContourDB(cfg, capacity=K_FILL + 4 * K_SMALL + 3 * K_FILL
+                   + N_ENQ + 240 + 8)
+
     # out-and-back trajectory: steady-state phases retrace the outbound path,
     # so the measured stream includes genuine loop closures (full branch)
-    n_out = n_fill + n_meas
+    n_out = K_FILL // 2
     poses = [(4.0 * i, 0.5 * (i % 7), 0.05 * (i % 11)) for i in range(n_out)]
-    poses += [(4.0 * (2 * n_out - 2 - i), 0.8, 0.1) for i in range(n_out, n_tot)]
-    clouds = [pad_points(render_scan(world, p, seed=int(rng.integers(1 << 30))),
-                         cfg.cm.max_points)
-              for p in poses]
+    poses += [(4.0 * (2 * n_out - 2 - i), 0.8, 0.1)
+              for i in range(n_out, K_FILL)]
+    log(f"rendering {K_FILL} scans")
+    clouds = np.stack(
+        [pad_points(render_scan(world, p, seed=int(rng.integers(1 << 30))),
+                    cfg.cm.max_points) for p in poses])
 
     handles = []
     blk_handles = []
@@ -117,13 +132,11 @@ def main():
         """True if `need` more seconds still fit. Each phase passes its own
         worst-case COLD-cache cost (compile dominated; ~0 when the persistent
         cache is warm) so a single long XLA compile — which cannot be
-        preempted once started — can no longer blow past the budget the way
-        the 131k-store _query_step compile (192 s) did."""
+        preempted once started — cannot blow past the budget."""
         return time.perf_counter() - T0 + need < budget_s
 
     # monotone seq/ts allocator: every phase draws fresh increasing ids, so
     # the _update_window_impl monotone-timestamp contract holds across phases
-    # (r1 advisor finding: block phases regressed below the fused offsets)
     next_id = [0]
 
     def take_ids(k):
@@ -131,63 +144,118 @@ def main():
         next_id[0] += k
         return s
 
-    # ---- phase 0: warm up + fill with the fused per-scan step (compiles the
-    # one graph the production stream uses; the only compile on the headline
-    # path) ------------------------------------------------------------------
-    log(f"fill: {n_fill} fused steps (compiles _scan_step)")
-    base = take_ids(n_fill)
-    for j in range(n_fill):
-        i = base + j
-        pts_i, ts_i = jax.device_put((clouds[j], np.float32(i)))
-        handles.append(db.step_async(pts_i, i, ts_i))
-    jax.block_until_ready(handles[-1].rec)
-    jax.block_until_ready(db.store)
+    def fetch1(x):
+        """Sync point: fetch ONE element of a device array (with one retry —
+        the tunnel throws transient FAILED_PRECONDITION on fetches)."""
+        for attempt in (0, 1):
+            try:
+                return jax.device_get(x.ravel()[:1])
+            except Exception:
+                if attempt:
+                    raise
+                log("fetch retry (transient backend error)")
+
+    # ---- phase 0: fill via ONE chained dispatch (compiles the K_FILL chain
+    # graph used by the headline's big timing chain) --------------------------
+    log(f"fill: step_chain({K_FILL}) (compiles _step_chain)")
+    base = take_ids(K_FILL)
+    pts_fill = jax.device_put(clouds)
+    ts_fill = jax.device_put(np.arange(base, base + K_FILL, dtype=np.float32))
+    h = db.step_chain_async(pts_fill, list(range(base, base + K_FILL)),
+                            ts_fill)
+    blk_handles.append(h)
+    jax.block_until_ready(h.recs)
     log(f"fill done ({compile_counter.count} compiles so far)")
 
-    # ---- HEADLINE: the FULLY fused per-scan step — descriptor build + query
-    # + append + temporal-window update in ONE dispatch (db.step_async),
-    # device-resident payloads. Best-of-3 epochs: the tunnel's RPC latency is
-    # bursty, so a lone epoch can land on a congested window; the min epoch
-    # estimates the noise floor (the steady-state figure a PCIe host sees).
-    # Epochs 2-3 are budget-gated; epoch 1 always runs. -----------------------
-    base = take_ids(3 * n_meas)   # ts layout: epoch r uses base + r*n_meas + j
-    staged_f = [jax.device_put((clouds[n_fill + j], np.float32(base + j)))
-                for j in range(n_meas)]
-    jax.block_until_ready(staged_f)
-    fused_handles = [db.step_async(staged_f[0][0], base, staged_f[0][1])]
-    jax.block_until_ready(fused_handles[0].rec)      # graph warm (cached fill)
-    fused_epochs = []
-    for rep in range(3):
-        if rep > 0 and not in_budget():
-            break
-        if rep == 0:
-            epoch = staged_f
-        else:
-            # reuse point buffers; shift ts on device (untimed) to keep the
-            # stream's timestamps monotone
-            epoch = [(p, t + np.float32(n_meas * rep)) for p, t in staged_f]
-            jax.block_until_ready(epoch)
-        seq0 = base + rep * n_meas
+    # ---- phase 1 (pre-switch): legacy enqueue-side fused stream — the r1
+    # headline methodology, kept for comparability. block_until_ready is NOT
+    # a reliable device sync on this tunnel, so this is the HOST'S submission
+    # rate for the one-dispatch-per-scan stream, not device time. ------------
+    dt_enq_ms = None
+    if in_budget(60):
+        log("phase fused_stream_enqueue (compiles _scan_step)")
+        base = take_ids(N_ENQ)
+        staged = [(pts_fill[j % K_FILL], jnp.float32(base + j))
+                  for j in range(N_ENQ)]
+        jax.block_until_ready(staged)
+        handles.append(db.step_async(staged[0][0], base, staged[0][1]))
+        jax.block_until_ready(handles[-1].rec)
         t0 = time.perf_counter()
-        for j in range(1, n_meas):
-            fused_handles.append(db.step_async(epoch[j][0], seq0 + j,
-                                               epoch[j][1]))
-        jax.block_until_ready(fused_handles[-1].rec)
-        fused_epochs.append((time.perf_counter() - t0) / (n_meas - 1) * 1e3)
-        log(f"fused epoch {rep + 1}: {fused_epochs[-1]:.3f} ms/scan")
-    jax.block_until_ready(db.store)
-    handles.extend(fused_handles)
-    dt_fused_ms = min(fused_epochs)
+        for j in range(1, N_ENQ):
+            handles.append(db.step_async(staged[j][0], base + j,
+                                         staged[j][1]))
+        jax.block_until_ready(handles[-1].rec)
+        dt_enq_ms = (time.perf_counter() - t0) / (N_ENQ - 1) * 1e3
+        log(f"enqueue-side: {dt_enq_ms:.3f} ms/scan (submission rate)")
+
+    # ---- pre-switch staging for post-switch phases (uploads/builds are
+    # cheap while the process is still in pristine mode) ----------------------
+    B_BLK = 16
+    NB_BIG = 4
+    blk_staged = None
+    if in_budget(50):
+        log("staging block16 descriptors (compiles vmapped build)")
+        batch_build = jax.jit(
+            jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
+        descs_nb = jax.vmap(batch_build)(
+            pts_fill[:NB_BIG * B_BLK].reshape((NB_BIG, B_BLK)
+                                              + clouds.shape[1:]))
+        descs_1 = jax.tree.map(lambda a: a[:1], descs_nb)
+        jax.block_until_ready(jax.tree.leaves(descs_nb)[0])
+        blk_staged = (descs_nb, descs_1)
+
+    log("staging query descriptor + serving batch")
+    qdesc = build_descriptor(pts_fill[0], cfg.cm, cfg.gmm)
+    jax.block_until_ready(jax.tree.leaves(qdesc)[0])
+    loc_pts = pts_fill[:B_BLK]
+
+    # ---- the D2H mode switch: the first fetch permanently degrades the
+    # process (every later dispatch ~40 ms host-side) — but every timed
+    # region below is ONE dispatch differenced against another, so the
+    # degraded dispatch cost cancels exactly. ---------------------------------
+    log("paying the first-fetch mode switch")
+    t0 = time.perf_counter()
+    fetch1(jnp.zeros(4) + 1.0)
+    log(f"mode switch paid ({time.perf_counter() - t0:.1f}s)")
+
+    # ---- HEADLINE: honest per-scan device time of the fused sequential
+    # stream. chain(K) runs K data-dependent fused steps in one dispatch;
+    # (t_big - t_small)/(K_big - K_small) cancels dispatch + fetch overhead.
+    def time_chain(k, reps=3):
+        best = None
+        for _ in range(reps):
+            base = take_ids(k)
+            ts_k = jax.device_put(
+                np.arange(base, base + k, dtype=np.float32))
+            t0 = time.perf_counter()
+            h = db.step_chain_async(pts_fill[:k],
+                                    list(range(base, base + k)), ts_k)
+            blk_handles.append(h)
+            fetch1(h.recs)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    log("headline: compiling small chain")
+    time_chain(K_SMALL, reps=1)          # compile (timed value unused)
+    log("headline: timing chains")
+    t_small = time_chain(K_SMALL)
+    t_big = time_chain(K_FILL)
+    dt_fused_ms = (t_big - t_small) / (K_FILL - K_SMALL) * 1e3
+    log(f"fused device time: {dt_fused_ms:.3f} ms/scan "
+        f"(t{K_SMALL}={t_small * 1e3:.1f} ms, t{K_FILL}={t_big * 1e3:.1f} ms)")
 
     headline = {
-        "metric": "per-scan end-to-end loop-closure latency "
-                  "(synthetic KITTI-scale, 240-scan DB, device-resident "
-                  "stream, ONE fused dispatch per scan: descriptor + query "
-                  "+ append + temporal window)",
+        "metric": "per-scan end-to-end loop-closure DEVICE time "
+                  "(synthetic KITTI-scale scans, fused sequential stream: "
+                  "descriptor + query + append + window per scan; K steps "
+                  "chained in ONE dispatch, two chain lengths differenced "
+                  "over a true device fetch — enqueue-side effects cancel)",
         "value": round(dt_fused_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / dt_fused_ms, 3),
-        "fused_epochs_ms": [round(v, 3) for v in fused_epochs],
+        "chain_ms": {f"t{K_SMALL}": round(t_small * 1e3, 2),
+                     f"t{K_FILL}": round(t_big * 1e3, 2)},
         "baseline_ms": BASELINE_MS,
     }
     print(json.dumps(headline), flush=True)   # the driver-safe line
@@ -196,133 +264,84 @@ def main():
     def rnd(v):
         return round(v, 3) if v is not None else None
 
-    # ---- secondary phases (each budget-gated; ordered cheapest-first so a
-    # tight budget still yields the low-compile-cost comparisons) ------------
+    # ---- secondary phases (each budget-gated, honest chain timing) ---------
 
-    # upload f32: per-scan H2D included (production streaming path, fused
-    # step, DEPTH-deep prefetch queue pipelines uploads over the link).
-    # Reuses the already-compiled fused graph — zero new compiles.
-    dt_up_ms = None
-    if in_budget(15):
-        log("phase upload_f32")
-        from collections import deque
-        DEPTH = 8
-        base = take_ids(n_meas)
-        fifo = deque(jax.device_put((clouds[n_fill + j], np.float32(base + j)))
-                     for j in range(DEPTH))
-        t0 = time.perf_counter()
-        for j in range(n_meas):
-            cur = fifo.popleft()
-            if j + DEPTH < n_meas:
-                fifo.append(jax.device_put((clouds[n_fill + j + DEPTH],
-                                            np.float32(base + j + DEPTH))))
-            handles.append(db.step_async(cur[0], base + j, cur[1]))
-        jax.block_until_ready(handles[-1].rec)
-        dt_up_ms = (time.perf_counter() - t0) / n_meas * 1e3
-
-    # unfused 4-dispatch stream (build / query / append / window): the
-    # dispatch-overhead comparison against the fused headline
-    dt_dev_ms = None
-    if in_budget(30):
-        log("phase unfused")
-        from contour_context_tpu.db import _query_step  # noqa: F401
-
-        base = take_ids(n_meas)
-        staged = [jax.device_put((clouds[n_fill + n_meas + j],
-                                  np.float32(base + j)))
-                  for j in range(n_meas)]
-        jax.block_until_ready(staged)
-
-        def step(i, dev_pts, dev_ts):
-            desc = build_descriptor(dev_pts, cfg.cm, cfg.gmm)
-            handles.append(db.query_async(desc))
-            db.add_scan(desc, i, dev_ts)
-            db.push_and_balance(dev_ts)
-
-        step(base, *staged[0])    # compiles query/append/window graphs
-        jax.block_until_ready(handles[-1].rec)
-        t0 = time.perf_counter()
-        for j in range(1, n_meas):
-            step(base + j, *staged[j])
-        jax.block_until_ready(handles[-1].rec)
-        jax.block_until_ready(db.store)
-        dt_dev_ms = (time.perf_counter() - t0) / (n_meas - 1) * 1e3
-
-    # batched throughput mode: blocks of B scans appended + queried in one
-    # dispatch (exact window parity, db._process_block)
+    # block-16 batched throughput: NB sequential blocks chained in one
+    # dispatch; differencing NB=1 vs NB=4 isolates per-block device time
     dt_blk_ms = None
-    if in_budget(40):
+    if blk_staged is not None and in_budget(60):
         log("phase block16")
-        B = 16
-        n_blk = 48
-        base = take_ids(n_blk)
-        poses_b = [(4.0 * (2 * n_out - 2 - (n_tot + i)), -0.8, -0.1)
-                   for i in range(n_blk)]
-        clouds_b = [pad_points(
-            render_scan(world, p, seed=int(rng.integers(1 << 30))),
-            cfg.cm.max_points) for p in poses_b]
-        batch_build = jax.jit(
-            jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
-        staged_b = [jax.device_put((np.stack(clouds_b[j:j + B]),
-                                    np.arange(base + j, base + j + B,
-                                              dtype=np.float32)))
-                    for j in range(0, n_blk, B)]
-        jax.block_until_ready(staged_b)
-        pts0, ts0 = staged_b[0]
-        h = db.process_block_async(batch_build(pts0),
-                                   list(range(base, base + B)), ts0)
-        blk_handles.append(h)
-        jax.block_until_ready(h.recs)        # compile warm-up
-        t0 = time.perf_counter()
-        for k, (pts_k, ts_k) in enumerate(staged_b[1:], start=1):
-            i0 = base + k * B
-            h = db.process_block_async(batch_build(pts_k),
-                                       list(range(i0, i0 + B)), ts_k)
-            blk_handles.append(h)
-        jax.block_until_ready(blk_handles[-1].recs)
-        dt_blk_ms = (time.perf_counter() - t0) / (n_blk - B) * 1e3
+        descs_nb, descs_1 = blk_staged
 
-    # q16 wire format: same fused-query stream but int16 fixed-point uploads
-    # (block64 runs LAST of the stream phases: its B=64 vmapped-build compile
-    # is the most expensive one-off graph, and the bigdb scaling numbers
-    # below are worth more under a tight budget)
-    # (half the bytes); queries only, nothing appended
-    dt_q16_ms = None
-    if in_budget(30):
-        log("phase upload_q16")
-        from collections import deque
+        def time_blocks(descs, nb, reps=3):
+            best = None
+            for _ in range(reps):
+                base = take_ids(nb * B_BLK)
+                ts_nb = jax.device_put(
+                    np.arange(base, base + nb * B_BLK,
+                              dtype=np.float32).reshape(nb, B_BLK))
+                seqs = list(range(base, base + nb * B_BLK))
+                t0 = time.perf_counter()
+                h = db.block_chain_async(descs, seqs, ts_nb)
+                blk_handles.append(h)
+                fetch1(h.recs)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
 
-        from contour_context_tpu.utils.io import quantize_points_q16
-
-        DEPTH = 8
-        q_clouds = [quantize_points_q16(c) for c in clouds[:2 * n_meas]]
-        fifo = deque(jax.device_put(q_clouds[j]) for j in range(DEPTH))
-        d0 = build_descriptor(fifo[0], cfg.cm, cfg.gmm)   # compiles i16 build
-        jax.block_until_ready(db.query_async(d0).rec)     # compiles query
-        handles_q = []
-        t0 = time.perf_counter()
-        for j in range(n_meas):
-            cur = fifo.popleft()
-            if j + DEPTH < n_meas:
-                fifo.append(jax.device_put(q_clouds[j + DEPTH]))
-            desc = build_descriptor(cur, cfg.cm, cfg.gmm)
-            handles_q.append(db.query_async(desc))
-        jax.block_until_ready([h.rec for h in handles_q if h is not None])
-        dt_q16_ms = (time.perf_counter() - t0) / n_meas * 1e3
-        handles.extend(handles_q)
+        time_blocks(descs_1, 1, reps=1)      # compile
+        time_blocks(descs_nb, NB_BIG, reps=1)
+        t1 = time_blocks(descs_1, 1)
+        t4 = time_blocks(descs_nb, NB_BIG)
+        dt_blk_ms = (t4 - t1) / ((NB_BIG - 1) * B_BLK) * 1e3
+        log(f"block16 device time: {dt_blk_ms:.3f} ms/scan")
 
     # query latency against production-scale DBs (real scans tiled to fill
     # the store — honest for search/cascade scaling; contents repeat but
     # shapes and work don't). 131072 scans ~= a 3.6 h drive @10 Hz (~4.7M
-    # retrieval keys) — the city-scale serving point.
-    from contour_context_tpu.db import _localize_block, _query_step
+    # retrieval keys) — the city-scale serving point. The chained query
+    # perturbs the float leaves of the query descriptor by a runtime (1+eps)
+    # factor that is exactly 1.0f, so iterations are data-dependent (XLA
+    # cannot hoist or parallelize them) but numerically identical.
+    @functools.partial(jax.jit, static_argnames=("K", "pcfg"))
+    def query_chain(store, q0, searchable, K, pcfg):
+        def body(q, _):
+            rec = _query_step_impl(store, q, searchable, pcfg)
+            one = 1.0 + 1e-30 * rec[1]
+            q = jax.tree.map(
+                lambda a: a * one.astype(a.dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, q)
+            return q, rec
+        _, recs = jax.lax.scan(body, q0, None, length=K)
+        return recs
+
+    @functools.partial(jax.jit, static_argnames=("K", "pcfg"))
+    def localize_chain(store, state, pts_b0, K, pcfg):
+        def body(pts_b, _):
+            recs = _localize_block(store, state, pts_b, pcfg)
+            one = 1.0 + 1e-30 * recs[0, 1]
+            return pts_b * one.astype(pts_b.dtype), recs
+        _, recs = jax.lax.scan(body, pts_b0, None, length=K)
+        return recs
+
+    def timed_chain(fn, k_small, k_big):
+        ts = {}
+        for k in (k_small, k_big):
+            fn(k)                      # compile / warm
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fetch1(fn(k))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            ts[k] = best
+        return (ts[k_big] - ts[k_small]) / (k_big - k_small) * 1e3
 
     dt_big = {8192: None, 32768: None, 131072: None}
     dt_loc_ms = {32768: None, 131072: None}
-    qdesc = build_descriptor(jax.device_put(clouds[0]), cfg.cm, cfg.gmm)
     n_have = db.n
-    # worst-case COLD-cache _query_step compile at these shapes: ~40/70/190 s
-    big_need = {8192: 50, 32768: 80, 131072: 120}
+    # worst-case COLD-cache compile at these shapes: ~40/70/190 s
+    big_need = {8192: 60, 32768: 90, 131072: 150}
     for n_db in (8192, 32768, 131072):
         if not in_budget(big_need[n_db]):
             break
@@ -337,97 +356,48 @@ def main():
         big.state = jnp.asarray([n_db, n_db - 32], jnp.int32)
         big.n = n_db
         big.seq_of_gidx = list(range(n_db))
-        rec = _query_step(big.store, qdesc, big.state, cfg)
-        jax.block_until_ready(rec)
-        t0 = time.perf_counter()
-        for _ in range(20):
-            rec = _query_step(big.store, qdesc, big.state, cfg)
-            jax.block_until_ready(rec)
-        dt_big[n_db] = (time.perf_counter() - t0) / 20 * 1e3
+        dt_big[n_db] = timed_chain(
+            lambda K: query_chain(big.store, qdesc, big.state[1], K, cfg),
+            2, 12)
+        log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms")
 
-        # map-serving throughput: localize a block of B3 raw point clouds
-        # against this frozen city-scale map in ONE dispatch
-        if n_db in dt_loc_ms and in_budget(40 if n_db < 100000 else 90):
+        # map-serving throughput: localize a block of B raw point clouds
+        # against this frozen city-scale map, chained
+        if n_db in dt_loc_ms and in_budget(60 if n_db < 100000 else 100):
             log(f"phase localize vs {n_db}")
-            # B3=16 keeps the batched (B3, Q, A, N*A) distance tensor within
-            # ~1 GB at 131k scans; larger serving batches chunk via lax.map
-            B3 = 16
-            loc_dev = jax.device_put(
-                np.stack([clouds[j % len(clouds)] for j in range(B3)]))
-            recs = _localize_block(big.store, big.state, loc_dev, cfg)
-            jax.block_until_ready(recs)          # compile warm-up
-            t0 = time.perf_counter()
-            for _ in range(3):
-                recs = _localize_block(big.store, big.state, loc_dev, cfg)
-                jax.block_until_ready(recs)
-            dt_loc_ms[n_db] = (time.perf_counter() - t0) / (3 * B3) * 1e3
+            per_iter = timed_chain(
+                lambda K: localize_chain(big.store, big.state, loc_pts, K,
+                                         cfg), 1, 4)
+            dt_loc_ms[n_db] = per_iter / B_BLK
+            log(f"localize16 vs {n_db}: {dt_loc_ms[n_db]:.3f} ms/scan")
         del big
 
-    # block-64: the throughput ceiling (last: most expensive one-off compile;
-    # measured cold cost ~130 s — compile + 192 scan renders + 3 uploads)
-    dt_blk64_ms = None
-    if in_budget(140):
-        log("phase block64")
-        B2 = 64
-        base = take_ids(3 * B2)
-        clouds64 = [pad_points(
-            render_scan(world, (4.0 * (i % n_out), -1.2, 0.05),
-                        seed=int(rng.integers(1 << 30))), cfg.cm.max_points)
-            for i in range(3 * B2)]
-        bb64 = jax.jit(jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
-        staged64 = [jax.device_put((np.stack(clouds64[k * B2:(k + 1) * B2]),
-                                    np.arange(base + k * B2,
-                                              base + (k + 1) * B2,
-                                              dtype=np.float32)))
-                    for k in range(3)]
-        jax.block_until_ready(staged64)
-        h = db.process_block_async(bb64(staged64[0][0]),
-                                   list(range(base, base + B2)), staged64[0][1])
-        jax.block_until_ready(h.recs)          # compile warm-up
-        blk_handles.append(h)
-        t0 = time.perf_counter()
-        hs64 = []
-        for k in (1, 2):
-            i0 = base + k * B2
-            hs64.append(db.process_block_async(
-                bb64(staged64[k][0]), list(range(i0, i0 + B2)), staged64[k][1]))
-        jax.block_until_ready(hs64[-1].recs)
-        dt_blk64_ms = (time.perf_counter() - t0) / (2 * B2) * 1e3
-        blk_handles.extend(hs64)
-
-    # every timing metric is known BEFORE any device->host fetch — emit the
-    # extended line NOW. The drain below pays the tunnel's one-time and
-    # highly variable (20-90 s measured) first-D2H mode switch, so the only
-    # data a late timeout can still lose is the loop-count tail line.
+    # every timing metric is known — emit the extended line NOW (the drain
+    # below can only add the loop-count tail line).
     extended = dict(headline)
     extended.update({
-        "unfused_stream_ms": rnd(dt_dev_ms),
+        "fused_stream_enqueue_ms": rnd(dt_enq_ms),
         "batched_block16_ms": rnd(dt_blk_ms),
-        "batched_block64_ms": rnd(dt_blk64_ms),
         "query_8192scan_db_ms": rnd(dt_big[8192]),
         "query_32768scan_db_ms": rnd(dt_big[32768]),
         "query_131072scan_db_ms": rnd(dt_big[131072]),
         "localize_block16_vs_32768map_ms": rnd(dt_loc_ms[32768]),
         "localize_block16_vs_131072map_ms": rnd(dt_loc_ms[131072]),
-        "upload_f32_ms": rnd(dt_up_ms),
-        "upload_q16_ms": rnd(dt_q16_ms),
         "n_compiles": compile_counter.count,
         "budget_s": budget_s,
         "elapsed_s": round(time.perf_counter() - T0, 1),
-        "note": "upload_* include per-scan H2D through this harness's "
-                "~40 MB/s / 25 ms-latency tunnel (prefetch-pipelined); a "
-                "production PCIe host makes them converge to `value`. "
-                "null secondary = skipped by CONT2_BENCH_BUDGET.",
+        "note": "all *_ms are pure device time (chained-dispatch "
+                "differencing over a true fetch); fused_stream_enqueue_ms "
+                "is the host submission rate of the one-dispatch-per-scan "
+                "stream (the r1 methodology) — block_until_ready does not "
+                "reliably sync on this tunnel. null secondary = skipped by "
+                "CONT2_BENCH_BUDGET.",
     })
     print(json.dumps(extended), flush=True)
 
-    # the stream's records live in the DB's device record ring, so after the
-    # first-fetch mode switch the whole drain is ONE contiguous buffer copy
-    # (drain_handles fast path); only the q16 phase's standalone handles need
-    # the batched per-buffer fallback.
-    log("draining records (pays the first-D2H mode switch)")
-    from contour_context_tpu.db import drain_block_handles
-
+    # the stream's records live in the DB's device record ring: the whole
+    # drain is ONE contiguous buffer copy (drain_handles fast path).
+    log("draining records")
     results = drain_handles(handles)
     drain_block_handles(blk_handles)
     for h in blk_handles:

@@ -1317,6 +1317,32 @@ class ContourDB:
         self.n += K
         return BlockHandle(recs, self, row0=row0)
 
+    def block_chain_async(self, descs_nb: ScanDesc, seqs, ts_nb
+                          ) -> "BlockHandle":
+        """NB sequential B-scan block steps in ONE dispatch (see
+        _block_chain). `descs_nb` is (NB, B)-stacked, `ts_nb` (NB, B) f32;
+        `seqs` lists all NB*B sequence ids in stream order."""
+        nb, b = int(ts_nb.shape[0]), int(ts_nb.shape[1])
+        assert nb * b == len(seqs)
+        if self.store is None:
+            self._init_store(jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape[2:], x.dtype),
+                descs_nb))
+        self._ensure_capacity(nb * b)
+        assert self.n + nb * b <= self.capacity, "DB capacity exceeded"
+        if self.recs_store is None:
+            self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
+                                        jnp.float32)
+        row0 = self.n
+        (self.store, self.ts_store, self.state, self.recs_store,
+         recs) = _block_chain(self.store, self.ts_store, self.state,
+                              self.recs_store, descs_nb,
+                              jnp.asarray(ts_nb, jnp.float32), self.cfg)
+        self.seq_of_gidx.extend(int(s) for s in seqs)
+        self.n += nb * b
+        return BlockHandle(recs.reshape(nb * b, recs.shape[-1]), self,
+                           row0=row0)
+
     def localize_block_async(self, points_b,
                              chunk: Optional[int] = None
                              ) -> Optional["BlockHandle"]:

@@ -138,6 +138,53 @@ def test_block_matches_sequential():
 
 
 @pytest.mark.slow
+def test_block_chain_matches_process_block():
+    """NB chained block steps in one dispatch == NB process_block_async
+    dispatches (records + ring + window state)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses += [(10.0 * (7 - i) + 0.5, 0.8, 0.15) for i in range(8)]
+    ts = np.asarray([6.0 * i for i in range(len(poses))], np.float32)
+    descs = []
+    for i, pose in enumerate(poses):
+        pts = render_scan(world, pose, seed=500 + i)
+        descs.append(build_descriptor(pad_points(pts, cfg.cm.max_points),
+                                      cfg.cm, cfg.gmm))
+    B = 4
+    blocks = [jax.tree.map(lambda *xs: jnp.stack(xs), *descs[b:b + B])
+              for b in range(0, len(descs), B)]
+
+    db_a = ContourDB(cfg, capacity=32)
+    recs_a = []
+    for k, blk in enumerate(blocks):
+        h = db_a.process_block_async(blk, list(range(k * B, (k + 1) * B)),
+                                     ts[k * B:(k + 1) * B])
+        recs_a.extend(h.get())
+
+    db_b = ContourDB(cfg, capacity=32)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    h = db_b.block_chain_async(stacked, list(range(len(descs))),
+                               ts.reshape(len(blocks), B))
+    recs_b = h.get()
+
+    assert len(recs_a) == len(recs_b)
+    for i, (ra, rb) in enumerate(zip(recs_a, recs_b)):
+        if ra is None:
+            assert rb is None, i
+            continue
+        assert rb is not None and ra[0] == rb[0], i
+        np.testing.assert_allclose(rb[1], ra[1], rtol=1e-4)
+    assert db_b.n == db_a.n and db_b.searchable_n == db_a.searchable_n
+    np.testing.assert_allclose(np.asarray(db_b.recs_store[:db_b.n]),
+                               np.asarray(db_a.recs_store[:db_a.n]),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_step_chain_matches_step_async():
     """ONE-dispatch K-step chain (lax.scan over the fused step) must equal
     K sequential step_async dispatches record-for-record — including with
