@@ -229,10 +229,22 @@ def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
     Q, A, R = d2m.shape
     n_rows_per_level = db_keys.shape[2]            # A of the store layout
     flat = d2m.reshape(-1)
+    # radii beyond the invalid-row sentinel are meaningless (d2m is capped
+    # there), and clamping keeps the mask value strictly out of range below
+    max_dist_sq = jnp.minimum(max_dist_sq, MAX_DIST_SQ * (1 - 1e-6))
     inr = flat < max_dist_sq
     n_total = jnp.sum(inr).astype(jnp.int32)
-    order = jnp.argsort(jnp.where(inr, flat, jnp.inf), stable=True)[:cap]
-    sel_valid = jnp.take(inr, order)
+    # _topk_min == stable ascending argsort[:cap] (ties by index), without
+    # the full 14M-element sort at city scale; padded/masked slots carry
+    # value >= max_dist_sq, so validity comes from the selected VALUES
+    vals, order = _topk_min(jnp.where(inr, flat, MAX_DIST_SQ)[None],
+                            min(cap, flat.size))
+    vals, order = vals[0], jnp.minimum(order[0], flat.size - 1)
+    if order.shape[0] < cap:    # tiny DBs: fewer rows than the cap
+        pad_k = cap - order.shape[0]
+        vals = jnp.pad(vals, (0, pad_k), constant_values=MAX_DIST_SQ)
+        order = jnp.pad(order, (0, pad_k))
+    sel_valid = vals < max_dist_sq
     lv = jnp.array(q_levels, jnp.float32)
     qi = order // (A * R)
     rem = order % (A * R)
