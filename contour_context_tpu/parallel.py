@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from contour_context_tpu.config import ContourManagerConfig, GMMOptConfig, PipelineConfig
+from contour_context_tpu.db import _topk_min
 
 MAX_DIST_SQ = 1e6
 
@@ -72,12 +73,14 @@ def sharded_search(db_keys, q_keys, searchable_n,
               + jnp.sum(rows.astype(f32) ** 2, axis=-1)[:, None, :] - 2.0 * cross)
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(ok[:, None, :], d2, MAX_DIST_SQ)
-        neg, idx = jax.lax.top_k(-d2, nnk)
+        # two-stage exact min-k (db._topk_min) for big shards: avoids the
+        # sort-based full-width TopK that dominates at city scale
+        dist_loc, idx = _topk_min(d2, nnk)
         gscan = base + idx // A
         seq = idx % A
         # gather per-device candidates: (Q, A, k) -> all_gather over devices
         cat = lambda x: jax.lax.all_gather(x, "data", axis=2, tiled=True)
-        return cat(-neg), cat(gscan), cat(seq)
+        return cat(dist_loc), cat(gscan), cat(seq)
 
     dist_all, gidx_all, seq_all = jax.shard_map(
         local, mesh=mesh,
