@@ -293,6 +293,53 @@ def test_range_search_vs_numpy_oracle():
     assert {(h[0], h[1], h[2], h[3]) for h in hits3} == expect_all
 
 
+def test_range_search_big_store_two_stage():
+    """_range_search at a store size where _topk_min takes the two-stage
+    path (flat width >= 4*TOPK_BLOCK): counts, membership and ascending
+    order must match a vectorized numpy oracle."""
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import TOPK_BLOCK, _range_search
+
+    rng = np.random.default_rng(5)
+    N, L, A, D = 512, 6, 6, 10
+    q_levels = (1, 2, 3)
+    assert 3 * A * N * A >= 4 * TOPK_BLOCK
+    keys = rng.uniform(0.1, 5.0, (N, L, A, D)).astype(np.float32)
+    keys[::9] = 0.0                      # invalid rows
+    qk = rng.uniform(0.1, 5.0, (L, A, D)).astype(np.float32)
+    searchable = 400
+    r2 = 9.0
+    cap = 64
+    packed = np.asarray(_range_search(jnp.asarray(keys), jnp.asarray(qk),
+                                      jnp.int32(searchable), jnp.float32(r2),
+                                      q_levels, cap))
+    n_total = int(packed[0, 0]) * (1 << 20) + int(packed[0, 1])
+    hits = packed[1:][packed[1:, 4] >= 0]
+
+    # oracle: q (lev, a) is compared only against DB rows of the SAME level
+    # dims: (q_level_idx, q_anchor, scan, db_anchor)
+    d2_same = np.stack([
+        (((keys[:searchable, lev][None] - qk[lev][:, None, None]) ** 2)
+         .sum(-1)) for lev in q_levels])            # (Q, Aq, S, A)
+    row_ok = np.stack([np.abs(keys[:searchable, lev]).sum(-1) > 0
+                       for lev in q_levels])        # (Q, S, A)
+    q_ok = np.stack([np.abs(qk[lev]).sum(-1) > 0 for lev in q_levels])
+    inr = (d2_same < r2) & row_ok[:, None] & q_ok[..., None, None]
+    assert n_total == int(inr.sum())
+    got = {(int(h[0]), int(h[1]), int(h[2]), int(h[3])) for h in hits}
+    expect_pairs = {(g, q_levels[qi], s, a)
+                    for qi, a, g, s in zip(*np.nonzero(inr))}
+    # cap truncation: got is the `cap` nearest of expect
+    assert got <= expect_pairs
+    assert len(hits) == min(cap, n_total)
+    dd = [float(h[4]) for h in hits]
+    assert dd == sorted(dd)
+    if n_total > cap:
+        thresh = sorted(d2_same[inr].tolist())[cap - 1]
+        assert abs(dd[-1] - thresh) < 1e-2
+
+
 @pytest.mark.slow
 def test_bf16_keys_search_parity():
     """keys_bf16 stores retrieval keys bfloat16 (half the search HBM
