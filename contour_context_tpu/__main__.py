@@ -37,6 +37,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="capture a jax.profiler trace of the replay into "
                          "this directory (open with TensorBoard / Perfetto; "
                          "complements the 5-stage wall-time report)")
+    ap.add_argument("--chain", type=int, default=None, metavar="K",
+                    help="replay K scans per device dispatch with exact "
+                         "per-scan sequential semantics (step_chain_async; "
+                         "valid at any timestamp spacing, unlike the batched "
+                         "block mode)")
     args = ap.parse_args(argv)
 
     cfg = PipelineConfig()
@@ -66,7 +71,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     else:
         trace_cm = contextlib.nullcontext()
     with trace_cm:
-        pipe.run(max_scans=args.max_scans, progress_every=200)
+        if args.chain:
+            pipe.run_chained(chain=args.chain, max_scans=args.max_scans)
+        else:
+            pipe.run(max_scans=args.max_scans, progress_every=200)
     pipe.save_outcome(fpath_outcome)
     pipe.stp.print_screen()
     if args.timing_log:

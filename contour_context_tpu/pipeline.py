@@ -288,6 +288,75 @@ class LoopClosurePipeline:
         if drain_at_end:
             self.drain()
 
+    def run_chained(self, chain: int = 16, max_scans: Optional[int] = None,
+                    drain_at_end: bool = True) -> None:
+        """Chained replay: `chain` scans per device dispatch with EXACT
+        per-scan sequential semantics (db.step_chain_async — a lax.scan over
+        the fused per-scan step, so query_i sees every append/window update
+        of scans < i regardless of timestamp spacing, unlike run_blocked's
+        batched queries which need the >= min_elapse gap). Use for irregular
+        streams (e.g. MulRan reindexed timestamps) at block-mode dispatch
+        overhead."""
+        import jax
+
+        ev = self.evaluator
+        cfg = self.cfg
+        n_done = 0
+        while max_scans is None or n_done < max_scans:
+            infos = []
+            while len(infos) < chain and \
+                    (max_scans is None or n_done + len(infos) < max_scans) \
+                    and ev.load_new_scan():
+                infos.append(ev.curr_scan)
+            if not infos:
+                break
+            if len(infos) < chain:
+                # tail shorter than the compiled chain: per-scan path
+                for info in infos:
+                    self._spin_info(info, prefetch=False)
+                n_done += len(infos)
+                break
+            self.stp.lap()
+            self.stp.start()
+            if getattr(self, "_chn_bufs", None) is None or \
+                    self._chn_bufs[0].shape != (chain, cfg.cm.max_points, 4):
+                self._chn_bufs = [
+                    np.empty((chain, cfg.cm.max_points, 4), np.float32)
+                    for _ in range(2)]
+                self._chn_prev = [None, None]
+            slot = (n_done // chain) % 2
+            # the buffer is reusable only after its consumer ran (zero-copy
+            # device_put on CPU aliases host memory; see run_blocked)
+            if self._chn_prev[slot] is not None:
+                jax.block_until_ready(self._chn_prev[slot])
+            buf = self._chn_bufs[slot]
+            if self._default_loader:
+                from contour_context_tpu.utils.native_loader import (
+                    read_block_into)
+
+                read_block_into([i.fpath for i in infos], buf)
+            else:
+                for j, info in enumerate(infos):
+                    buf[j] = self._ensure_padded(self._load_points(info.fpath))
+            ts = np.asarray([i.ts for i in infos], np.float32)
+            if self.q16_transport:
+                from contour_context_tpu.utils.io import quantize_points_q16
+                send = quantize_points_q16(
+                    buf.reshape(-1, 4)).reshape(buf.shape)  # fresh array
+            else:
+                send = buf
+            dev_pts, dev_ts = jax.device_put((send, ts))
+            self.stp.record("stage+upload")
+            self.stp.start()
+            h = self.db.step_chain_async(dev_pts, [i.seq for i in infos],
+                                         dev_ts)
+            self._chn_prev[slot] = h.recs
+            self.stp.record("chain step")
+            self._pending.append((infos, h))
+            n_done += len(infos)
+        if drain_at_end:
+            self.drain()
+
     def run(self, max_scans: Optional[int] = None, progress_every: int = 0,
             trace_dir: Optional[str] = None) -> None:
         """Replay the whole sequence; `trace_dir` wraps the loop in a

@@ -84,6 +84,55 @@ def test_run_blocked_matches_run(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_chained_matches_run(tmp_path):
+    """File-based replay: run_chained(K) == run() outcome-for-outcome,
+    including a tail shorter than K."""
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses += [(10.0 * (7 - i) + 0.5, 0.8, 0.15) for i in range(6)]  # 14 scans
+    pl, ll = [], []
+    for i, p in enumerate(poses):
+        pts = render_scan(world, p, seed=500 + i)
+        arr = np.zeros((len(pts), 4), np.float32)
+        arr[:, :3] = pts
+        bp = str(tmp_path / ("%06d.bin" % i))
+        arr.tofile(bp)
+        T = se3_from_xyt(p)
+        pl.append("%.6f %s" % (6.0 * i, " ".join(
+            "%.6f" % v for v in T[:3, :4].reshape(-1))))
+        ll.append("%.6f %d %s" % (6.0 * i, i, bp))
+    f_pose = str(tmp_path / "pose.txt")
+    f_laser = str(tmp_path / "laser.txt")
+    open(f_pose, "w").write("\n".join(pl))
+    open(f_laser, "w").write("\n".join(ll))
+
+    from contour_context_tpu.eval.evaluator import ContLCDEvaluator
+    from contour_context_tpu.pipeline import LoopClosurePipeline
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+
+    ev1 = ContLCDEvaluator(f_pose, f_laser, cfg.correlation_thres)
+    p1 = LoopClosurePipeline(cfg, ev1, capacity=32)
+    p1.run()
+    p1.save_outcome(str(tmp_path / "o_seq.txt"))
+
+    ev2 = ContLCDEvaluator(f_pose, f_laser, cfg.correlation_thres)
+    p2 = LoopClosurePipeline(cfg, ev2, capacity=32)
+    p2.run_chained(chain=4)   # 14 scans = 3 chains + 2-scan tail
+    p2.save_outcome(str(tmp_path / "o_chn.txt"))
+
+    seq_lines = open(str(tmp_path / "o_seq.txt")).readlines()
+    chn_lines = open(str(tmp_path / "o_chn.txt")).readlines()
+    assert len(seq_lines) == len(chn_lines) == 14
+    for a, b in zip(seq_lines, chn_lines):
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[0] == fb[0] and fa[1] == fb[1], (a, b)
+        np.testing.assert_allclose(float(fa[2]), float(fb[2]),
+                                   rtol=1e-3, atol=1e-4)
+    assert any(ln.startswith("0\t") for ln in seq_lines)   # found loops
+
+
+@pytest.mark.slow
 def test_block_matches_sequential():
     import jax
     import jax.numpy as jnp
