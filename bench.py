@@ -105,9 +105,12 @@ def main():
     K_SMALL = 12     # small timing chain length
     N_ENQ = 60       # enqueue-side legacy epoch length
 
-    # capacity: fill + chain compiles/reps + enqueue epoch + block16 phase
+    # capacity: fill (132) + chain compile/reps (4*12 + 3*132) + enqueue
+    # epoch (60) + block16 phase (2 compiles 16+64, 3 reps each of 16+64
+    # = 320) + slack — undercounting triggers a grow, which recompiles
+    # every graph mid-run
     db = ContourDB(cfg, capacity=K_FILL + 4 * K_SMALL + 3 * K_FILL
-                   + N_ENQ + 240 + 8)
+                   + N_ENQ + 320 + 8)
 
     # out-and-back trajectory: steady-state phases retrace the outbound path,
     # so the measured stream includes genuine loop closures (full branch)
@@ -221,6 +224,9 @@ def main():
     # ---- HEADLINE: honest per-scan device time of the fused sequential
     # stream. chain(K) runs K data-dependent fused steps in one dispatch;
     # (t_big - t_small)/(K_big - K_small) cancels dispatch + fetch overhead.
+    pts_small = pts_fill[:K_SMALL]      # hoisted: slices are dispatches too
+    chain_pts = {K_SMALL: pts_small, K_FILL: pts_fill}
+
     def time_chain(k, reps=3):
         best = None
         for _ in range(reps):
@@ -228,7 +234,7 @@ def main():
             ts_k = jax.device_put(
                 np.arange(base, base + k, dtype=np.float32))
             t0 = time.perf_counter()
-            h = db.step_chain_async(pts_fill[:k],
+            h = db.step_chain_async(chain_pts[k],
                                     list(range(base, base + k)), ts_k)
             blk_handles.append(h)
             fetch1(h.recs)
