@@ -47,6 +47,47 @@ def test_ring_kernel_unit():
     np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_r))
 
 
+def test_search_tilemin_pallas_matches_search_impl():
+    """The Pallas fused distance+tile-min search (interpret mode) must equal
+    db._search_impl element-for-element: gidx, seq, dist, valid — including
+    invalid-key rows, the searchable cutoff, and duplicate distances."""
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import _search_impl
+    from contour_context_tpu.ops.pallas_kernels import search_tilemin_pallas
+
+    rng = np.random.default_rng(4)
+    N, L, A, D = 2048, 6, 6, 10
+    QL = (1, 2, 3)
+    NNK = 50
+    kb = rng.uniform(0.1, 5.0, (N, L, A, D)).astype(np.float32)
+    kb[::7] = 0.0                       # invalid rows
+    kb[100:200] = kb[300:400]           # duplicated keys -> distance ties
+    qk = rng.uniform(0.1, 5.0, (L, A, D)).astype(np.float32)
+    qk[2, 3] = 0.0                      # an invalid query anchor
+    sn = jnp.int32(1800)
+
+    g0, s0, d0, v0 = [np.asarray(x) for x in _search_impl(
+        jnp.asarray(kb), jnp.asarray(qk), sn, QL, NNK)]
+    g1, s1, d1, v1 = [np.asarray(x) for x in search_tilemin_pallas(
+        jnp.asarray(kb), jnp.asarray(qk), sn, QL, NNK, interpret=True,
+        T=64, TC=1024)]
+    # contract: identical valid masks and hit SETS; distances agree within
+    # f32 contraction-order rounding (different dot layouts), so near-ties
+    # may swap positions inside the ascending list
+    np.testing.assert_array_equal(v0, v1)
+    hits0 = {(q, a, int(g0[q, a, k]), int(s0[q, a, k]))
+             for q, a, k in zip(*np.nonzero(v0))}
+    hits1 = {(q, a, int(g1[q, a, k]), int(s1[q, a, k]))
+             for q, a, k in zip(*np.nonzero(v1))}
+    assert hits0 == hits1 and len(hits0) > 30
+    np.testing.assert_allclose(d1[v0], d0[v0], rtol=1e-4, atol=1e-4)
+    for q, a in zip(*np.nonzero(v0.any(-1))):
+        dd = d1[q, a][v1[q, a]]
+        assert list(dd) == sorted(dd)
+
+
 def test_descriptor_keys_with_pallas_ring():
     """use_pallas_ring=True reproduces the default descriptor keys."""
     import jax
