@@ -104,6 +104,9 @@ def main():
     ap.add_argument("--max-points", type=int, default=65536)
     ap.add_argument("--block", type=int, default=0,
                     help="replay in blocks of B scans (throughput mode)")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="replay K scans per dispatch via step_chain_async "
+                         "(exact per-scan semantics at any ts spacing)")
     ap.add_argument("--dynamic-thres", action="store_true",
                     help="enable the reference's DYNAMIC_THRES compile "
                          "flag behavior (rising lower bounds)")
@@ -194,7 +197,26 @@ def main():
     ev = ContLCDEvaluator(f_pose, f_lid, cfg.correlation_thres)
     pipe = LoopClosurePipeline(cfg, ev, capacity=len(ev) + 8)
     t_all = time.perf_counter()
-    if args.block:
+    if args.chain and args.block:
+        ap.error("--chain and --block are mutually exclusive")
+    if args.chain:
+        n_warm = min(2 * args.chain, args.scans // 2)
+        n_warm = args.scans - ((args.scans - n_warm) // args.chain) * args.chain
+        if args.scans - n_warm < args.chain:
+            ap.error("--scans %d too small for --chain %d"
+                     % (args.scans, args.chain))
+        pipe.run_chained(chain=args.chain, max_scans=n_warm,
+                         drain_at_end=False)
+        jax.block_until_ready(pipe.db.store)
+        t0 = time.perf_counter()
+        pipe.run_chained(chain=args.chain, drain_at_end=False)
+        jax.block_until_ready(pipe.db.store)
+        if pipe._pending:
+            h_last = pipe._pending[-1][1]
+            jax.block_until_ready(h_last.recs if hasattr(h_last, "recs")
+                                  else h_last.rec)
+        n_meas = len(ev) - n_warm
+    elif args.block:
         # warm-up sized so the measured remainder is whole blocks (the tail
         # otherwise falls back to the per-scan path and compiles mid-timing)
         n_warm = min(3 * args.block, args.scans // 2)
