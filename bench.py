@@ -148,15 +148,11 @@ def main():
         return s
 
     def fetch1(x):
-        """Sync point: fetch ONE element of a device array (with one retry —
-        the tunnel throws transient FAILED_PRECONDITION on fetches)."""
-        for attempt in (0, 1):
-            try:
-                return jax.device_get(x.ravel()[:1])
-            except Exception:
-                if attempt:
-                    raise
-                log("fetch retry (transient backend error)")
+        """Sync point: fetch ONE element of a device array. _device_fetch
+        retries only transient FAILED_PRECONDITION tunnel errors, so a real
+        failure propagates instead of silently adding a retry to a timing."""
+        from contour_context_tpu.db import _device_fetch
+        return _device_fetch(x.ravel()[:1])
 
     # ---- phase 0: fill via ONE chained dispatch (compiles the K_FILL chain
     # graph used by the headline's big timing chain) --------------------------

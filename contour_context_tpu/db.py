@@ -165,9 +165,13 @@ def _topk_min(d2m, k: int):
     within a block keep their stage-1 order; ties across blocks resolve by
     block order = global order). Padding (when M % TOPK_BLOCK != 0) uses
     MAX_DIST_SQ at indices >= M: real entries of equal value precede padding
-    in tie order, and M >> k, so padding is never selected."""
+    in tie order, and M >> k, so padding is never selected.
+
+    k > TOPK_BLOCK (e.g. range_search with cap > 4096) falls back to the
+    single-stage path — stage 1 cannot return k winners from a narrower
+    block, and XLA rejects top_k with k beyond the axis size."""
     M = d2m.shape[-1]
-    if M < 4 * TOPK_BLOCK:
+    if M < 4 * TOPK_BLOCK or k > TOPK_BLOCK:
         neg, idx = jax.lax.top_k(-d2m, k)
         return -neg, idx.astype(jnp.int32)
     C = TOPK_BLOCK

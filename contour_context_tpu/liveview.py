@@ -69,7 +69,8 @@ class LiveLoopView:
         self._poses: list = []          # (seq, x, y) in feed order
         self._loops: list = []          # (q_seq, cand_seq, correlation)
         self._drawn_poses = 0
-        self._drawn_loops = 0
+        self._taken_loops = 0
+        self._pending_loops: list = []  # taken but endpoint pose not yet fed
         self._render_due = False
         self.n_tp = 0
         self.n_fp = 0
@@ -100,7 +101,7 @@ class LiveLoopView:
             item = (int(q), int(c), float(det[2]) if len(det) > 2 else 1.0)
         with self._lock:
             self._loops.append(item)
-            if len(self._loops) - self._drawn_loops >= self.every:
+            if len(self._loops) - self._taken_loops >= self.every:
                 self._render_due = True
 
     # -- render side (owning thread only) -----------------------------------
@@ -136,10 +137,17 @@ class LiveLoopView:
             self._path_line.set_data(xs, ys)
             self.ax.relim()
             self.ax.autoscale_view()
-        for q_seq, cand_seq, _corr in loops[self._drawn_loops:]:
+        # A loop may arrive from the drain thread before its endpoint pose is
+        # fed; such loops stay pending and are retried every render, so the
+        # feed/detect ordering between threads never loses a connection.
+        self._pending_loops.extend(loops[self._taken_loops:])
+        self._taken_loops = len(loops)
+        still_pending = []
+        for q_seq, cand_seq, _corr in self._pending_loops:
             a = self._xy_by_seq.get(q_seq)
             b = self._xy_by_seq.get(cand_seq)
             if a is None or b is None:
+                still_pending.append((q_seq, cand_seq, _corr))
                 continue
             color = self._loop_color(q_seq, cand_seq)
             if color == TP_COLOR:
@@ -148,7 +156,7 @@ class LiveLoopView:
                 self.n_fp += 1
             self.ax.plot([a[0], b[0]], [a[1], b[1]], "-", color=color,
                          lw=1.0, zorder=2)
-        self._drawn_loops = len(loops)
+        self._pending_loops = still_pending
         self.ax.set_xlabel(f"x [m]   TP(green)={self.n_tp}  "
                            f"FP(red)={self.n_fp}")
         if self.interactive:

@@ -106,7 +106,7 @@ def ring_key_divs_pallas(anchors, pool, div_centers, roi_radius: float,
     return out[:A8, :n_div], out[:A8, n_div]
 
 
-MAX_DIST_SQ = 1e6   # db.MAX_DIST_SQ (contour_db.h:30)
+from contour_context_tpu.db import MAX_DIST_SQ  # mask sentinel must bit-match _search_impl's
 
 
 def _search_tilemin_kernel(sn_ref, q_ref, keys_ref, out_ref, *,

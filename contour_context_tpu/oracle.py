@@ -689,6 +689,17 @@ class RefLayerDB:
         to_move_mid = int((n_big - n_small) / 2.0)
         to_move_min = max(0, int((n_big - n_small - IMBA_DIFF_RATIO * n_big)
                                  / (2 - IMBA_DIFF_RATIO)))
+        if to_move_mid == 0:
+            # size diff <= 1: the C++ would read sort_permu[sz1] past the end
+            # (UB, contour_db.cpp:117-118; reachable when both buckets need a
+            # pop and the trees are tiny, so the min_elem_split_ guard at
+            # contour_db.cpp:78-86 is bypassed). Define it as unsplittable and
+            # pop both, mirroring the contagious-strip handling below.
+            if pb1 or src == idx:
+                self._pop_max(idx, ts)
+            if pb2 or src == idx + 1:
+                self._pop_max(idx + 1, ts)
+            return
         # keys of the big bucket nearest the split move first: sort ascending
         # by k0; moving from the high side when src < dst index-wise means
         # src has the LOWER range (tr1) -> move its LARGEST keys, and vice

@@ -24,9 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from contour_context_tpu.config import ContourManagerConfig, GMMOptConfig, PipelineConfig
-from contour_context_tpu.db import _topk_min
-
-MAX_DIST_SQ = 1e6
+from contour_context_tpu.db import MAX_DIST_SQ, _topk_min
 
 
 def make_mesh(devices=None, axis: str = "data") -> Mesh:

@@ -205,6 +205,51 @@ class LoopClosurePipeline:
         if len(self._pending) >= 2 * DRAIN_BLOCK:
             self._drain_block(DRAIN_BLOCK)
 
+    def _stage_group(self, infos, slot: int):
+        """Shared staging for run_blocked/run_chained: read `infos` straight
+        into one of two reusable block buffers (native thread pool; no
+        np.stack realloc+copy, which otherwise dominates at ~87 ms/block),
+        optionally q16-quantize, and upload. Returns (dev_pts, dev_ts).
+
+        Double-buffered with consumer pinning: a slot's buffer is reused only
+        after the device consumer registered via _pin_group ran — on CPU
+        device_put aliases host memory (zero-copy), so waiting on the
+        transfer alone lets an async consumer read bytes of a later group
+        (caught as corr=1.0 self-matches two blocks apart). Every caller MUST
+        _pin_group(slot, <device output that read the upload>)."""
+        import jax
+
+        cfg = self.cfg
+        group = len(infos)
+        if getattr(self, "_grp_bufs", None) is None or \
+                self._grp_bufs[0].shape != (group, cfg.cm.max_points, 4):
+            self._grp_bufs = [
+                np.empty((group, cfg.cm.max_points, 4), np.float32)
+                for _ in range(2)]
+            self._grp_prev = [None, None]
+        if self._grp_prev[slot] is not None:
+            jax.block_until_ready(self._grp_prev[slot])
+        buf = self._grp_bufs[slot]
+        if self._default_loader:
+            from contour_context_tpu.utils.native_loader import (
+                read_block_into)
+
+            read_block_into([i.fpath for i in infos], buf)
+        else:
+            for j, info in enumerate(infos):
+                buf[j] = self._ensure_padded(self._load_points(info.fpath))
+        ts = np.asarray([i.ts for i in infos], np.float32)
+        if self.q16_transport:
+            from contour_context_tpu.utils.io import quantize_points_q16
+            send = quantize_points_q16(
+                buf.reshape(-1, 4)).reshape(buf.shape)  # fresh array
+        else:
+            send = buf
+        return jax.device_put((send, ts))
+
+    def _pin_group(self, slot: int, consumer) -> None:
+        self._grp_prev[slot] = consumer
+
     def run_blocked(self, block: int = 16, max_scans: Optional[int] = None,
                     drain_at_end: bool = True) -> None:
         """Batched replay: `block` scans per device dispatch.
@@ -242,42 +287,11 @@ class LoopClosurePipeline:
                 break
             self.stp.lap()
             self.stp.start()
-            # double-buffered staging: the native thread pool reads every scan
-            # straight into a reusable block buffer (no np.stack realloc+copy,
-            # which otherwise dominates the block at ~87 ms)
-            if getattr(self, "_blk_bufs", None) is None or \
-                    self._blk_bufs[0].shape != (block, cfg.cm.max_points, 4):
-                self._blk_bufs = [
-                    np.empty((block, cfg.cm.max_points, 4), np.float32)
-                    for _ in range(2)]
-                self._blk_prev = [None, None]
             slot = (n_done // block) % 2
-            # The buffer may be reused only after its CONSUMER ran: on CPU
-            # device_put aliases host memory (zero-copy), so waiting on the
-            # transfer alone lets an async batch_build read bytes of a later
-            # block (caught as corr=1.0 self-matches two blocks apart).
-            # Waiting on the descriptors pins both the transfer and the read.
-            if self._blk_prev[slot] is not None:
-                jax.block_until_ready(self._blk_prev[slot])
-            buf = self._blk_bufs[slot]
-            if self._default_loader:
-                from contour_context_tpu.utils.native_loader import (
-                    read_block_into)
-
-                read_block_into([i.fpath for i in infos], buf)
-            else:
-                for j, info in enumerate(infos):
-                    buf[j] = self._ensure_padded(self._load_points(info.fpath))
-            ts = np.asarray([i.ts for i in infos], np.float32)
-            if self.q16_transport:
-                from contour_context_tpu.utils.io import quantize_points_q16
-                send = quantize_points_q16(
-                    buf.reshape(-1, 4)).reshape(buf.shape)  # fresh array
-            else:
-                send = buf
-            dev_pts, dev_ts = jax.device_put((send, ts))
+            dev_pts, dev_ts = self._stage_group(infos, slot)
             descs = self._batch_build(dev_pts)
-            self._blk_prev[slot] = descs
+            # pinning the descriptors covers both the transfer and the read
+            self._pin_group(slot, descs)
             self.stp.record("make bev")
             self.stp.start()
             h = self.db.process_block_async(descs, [i.seq for i in infos],
@@ -318,39 +332,13 @@ class LoopClosurePipeline:
                 break
             self.stp.lap()
             self.stp.start()
-            if getattr(self, "_chn_bufs", None) is None or \
-                    self._chn_bufs[0].shape != (chain, cfg.cm.max_points, 4):
-                self._chn_bufs = [
-                    np.empty((chain, cfg.cm.max_points, 4), np.float32)
-                    for _ in range(2)]
-                self._chn_prev = [None, None]
             slot = (n_done // chain) % 2
-            # the buffer is reusable only after its consumer ran (zero-copy
-            # device_put on CPU aliases host memory; see run_blocked)
-            if self._chn_prev[slot] is not None:
-                jax.block_until_ready(self._chn_prev[slot])
-            buf = self._chn_bufs[slot]
-            if self._default_loader:
-                from contour_context_tpu.utils.native_loader import (
-                    read_block_into)
-
-                read_block_into([i.fpath for i in infos], buf)
-            else:
-                for j, info in enumerate(infos):
-                    buf[j] = self._ensure_padded(self._load_points(info.fpath))
-            ts = np.asarray([i.ts for i in infos], np.float32)
-            if self.q16_transport:
-                from contour_context_tpu.utils.io import quantize_points_q16
-                send = quantize_points_q16(
-                    buf.reshape(-1, 4)).reshape(buf.shape)  # fresh array
-            else:
-                send = buf
-            dev_pts, dev_ts = jax.device_put((send, ts))
+            dev_pts, dev_ts = self._stage_group(infos, slot)
             self.stp.record("stage+upload")
             self.stp.start()
             h = self.db.step_chain_async(dev_pts, [i.seq for i in infos],
                                          dev_ts)
-            self._chn_prev[slot] = h.recs
+            self._pin_group(slot, h.recs)
             self.stp.record("chain step")
             self._pending.append((infos, h))
             n_done += len(infos)

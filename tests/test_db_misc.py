@@ -54,6 +54,26 @@ def test_topk_min_two_stage_exact():
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_idx))
 
 
+def test_topk_min_k_above_block_falls_back():
+    """k > TOPK_BLOCK (e.g. range_search cap > 4096) must fall back to the
+    exact single-stage path: stage 1 of the two-stage reduction cannot
+    return k winners from a TOPK_BLOCK-wide tile (XLA rejects top_k with
+    k beyond the axis size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import TOPK_BLOCK, _topk_min
+
+    rng = np.random.default_rng(3)
+    M = 4 * TOPK_BLOCK                      # two-stage territory by width
+    k = TOPK_BLOCK + 17
+    d = jnp.asarray(rng.uniform(0.0, 4.0, (1, M)).astype(np.float32))
+    got_d, got_i = _topk_min(d, k)
+    ref_neg, ref_idx = jax.lax.top_k(-d, k)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_idx))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(-ref_neg))
+
+
 @pytest.mark.slow
 def test_db_grow():
     world, descs = _descs(6)

@@ -58,5 +58,21 @@ def test_threaded_feed_then_render(tmp_path):
         t.join()
     view.render(final=True)
     assert view._drawn_poses == 100
-    assert view.n_tp + view.n_fp == view._drawn_loops > 0
+    assert not view._pending_loops          # all endpoints arrived
+    assert view.n_tp + view.n_fp == view._taken_loops > 0
+    view.close()
+
+
+def test_loop_before_pose_is_retried(tmp_path):
+    """A detection draining before its endpoint pose is fed must not be
+    dropped: it stays pending and draws at a later render (the feed and
+    drain threads have no ordering guarantee between add_pose/add_loop)."""
+    view = LiveLoopView(str(tmp_path / "v.png"), every=1)
+    view.add_pose(0, 0.0, 0.0)
+    view.add_loop((5, 0, 0.9))              # q_seq 5 pose not fed yet
+    view.render()
+    assert view.n_tp == 0                   # pending, not counted or dropped
+    view.add_pose(5, 1.0, 1.0)
+    view.render(final=True)
+    assert view.n_tp == 1                   # retried and drawn
     view.close()

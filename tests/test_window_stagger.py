@@ -171,3 +171,21 @@ def test_ref_schedule_equal_sets_in_steady_state():
                 if 0 <= repo_pop[i] and i <= horizon
                 for seq in range(len(keys[i][0]))}
     assert ref_ids == repo_ids
+
+
+def test_rebuild_tiny_trees_size_diff_one():
+    """Balance branch with to_move_mid == 0 (tree sizes differ by 1, both
+    buffers due): the C++ reads sort_permu[sz1] out of bounds here (UB,
+    contour_db.cpp:117-118); the replica defines it as unsplittable and pops
+    both buckets. Regression for an IndexError in RefLayerDB.rebuild."""
+    db = RefLayerDB(MIN_ELAPSE, MAX_ELAPSE)
+    db.ranges[1] = 0.5                      # buckets 0:[-1000,0.5) 1:[0.5,1000)
+    db.tree[0] = [(0.1 * i, ("a", i)) for i in range(5)]
+    db.tree[1] = [(0.6 + 0.01 * i, ("b", i)) for i in range(4)]
+    t = 100.0
+    db.buf[0] = [(0.2, t - 30.0, ("c", 0))]
+    db.buf[1] = [(0.7, t - 30.0, ("d", 0))]
+    db.rebuild(0, t)                        # used to raise IndexError
+    assert not db.buf[0] and not db.buf[1]  # both due buffers popped
+    assert len(db.tree[0]) == 6 and len(db.tree[1]) == 5
+    assert db.ranges[1] == 0.5              # nothing moved across the split
