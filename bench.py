@@ -90,6 +90,38 @@ def main():
     except Exception:
         pass
 
+    # reachability watchdog: the tunneled TPU relay can die (no listener on
+    # its ports — observed 2026-08-17); a dead relay makes the first compile
+    # hang FOREVER, which surfaces as a driver timeout with zero output
+    # (BENCH_r01 failure mode). Probe with a tiny op under a deadline and
+    # fail fast with a diagnostic JSON line instead.
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        jax.block_until_ready(jnp.zeros(4) + 1.0)
+        probe_ok.set()
+
+    deadline_s = float(os.environ.get("CONT2_BENCH_TPU_DEADLINE", "240"))
+    log(f"probing device (deadline {deadline_s:.0f}s)")
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(deadline_s)
+    if not probe_ok.is_set():
+        print(json.dumps({
+            "metric": "per-scan end-to-end loop-closure DEVICE time",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"TPU unreachable: trivial dispatch did not complete "
+                     f"within {deadline_s:.0f}s (tunnel relay down)",
+        }), flush=True)
+        log("TPU unreachable — aborting")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(3)     # the probe thread is stuck in native code; normal
+        # interpreter teardown aborts (pthread cancel during a C++ wait)
+    log("device probe ok")
+
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
     from contour_context_tpu.db import (ContourDB, _localize_block,
                                         _query_step_impl, drain_block_handles,

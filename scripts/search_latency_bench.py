@@ -12,6 +12,12 @@ Variants (select with --variants, comma-separated, in run order):
   dist    masked distance matrix only (db._key_distances, materializing)
   search  the shipping path: db._search_impl (two-stage exact _topk_min)
   searchbf16  same with bfloat16 keys
+  searchfresh  same, but the chain body perturbs db_keys by a runtime
+          factor that is exactly 1.0f, so the (N,L,A,D)->(Q,N*A,D) layout
+          gather/transpose inside _key_distances is loop-carried and CANNOT
+          be hoisted out of the scan — this is the production cost (the
+          store changes between queries). search-vs-searchfresh isolates
+          how much a maintained query-layout store would save.
   pallas  ops.pallas_kernels.search_tilemin_pallas (fused dist+tile-min)
           WARNING: remote Mosaic compiles have taken ~37 min and once
           killed the relay — run this variant LAST / in its own process.
@@ -149,6 +155,22 @@ def main():
         if "searchbf16" in variants:
             per_op("search[bf16 two-stage]", chained_search, q,
                    db_keys.astype(jnp.bfloat16))
+
+    if "searchfresh" in variants:
+        @functools.partial(jax.jit, static_argnames=("n_iter",))
+        def chained_search_fresh(qq, keys, n_iter):
+            def body(carry, _):
+                c, ks = carry
+                g, s, d, v = _search_impl(ks, c, sn, QL, args.nnk)
+                one = (1.0 + 1e-30 * d.min()).astype(ks.dtype)
+                # single-element in-place scatter: loop-carries ks without
+                # rewriting the store (a full ks*one would add 2x188 MB of
+                # confounding traffic per iteration)
+                return (c * one.astype(jnp.float32),
+                        ks.at[0, 0, 0, 0].multiply(one)), None
+            (c, _ks), _ = jax.lax.scan(body, (qq, keys), None, length=n_iter)
+            return c[0, 0, 0]
+        per_op("search[f32 fresh-keys]", chained_search_fresh, q, db_keys)
 
     if "pallas" in variants:
         from contour_context_tpu.ops.pallas_kernels import (
