@@ -194,6 +194,12 @@ class ContourDBConfig:
                                   # overflow_cand counts drops — 64 keeps even
                                   # 14-lap self-similar loops mostly unclipped)
     dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
+    topk_strategy: str = "block"  # exact city-scale min-k reduction: "block"
+                                  # (two-stage per-4096-block min-k) or
+                                  # "cover" (tile-min cover: stage 1 is a
+                                  # pure reduce). Both element-exact vs
+                                  # lax.top_k — pick by on-chip measurement
+                                  # (db._topk_min)
 
     def __post_init__(self):
         # check-3 stats tables cover the DIST_BIN_LAYERS levels only; an

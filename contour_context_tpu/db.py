@@ -123,7 +123,14 @@ def _key_distances(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...]):
     """
     N, L, A, D = db_keys.shape
     lv = jnp.array(q_levels, jnp.int32)
-    rows = db_keys[:, lv].transpose(1, 0, 2, 3).reshape(len(q_levels), N * A, D)
+    lo, nq = q_levels[0], len(q_levels)
+    if q_levels == tuple(range(lo, lo + nq)):
+        # contiguous levels (the default (1,2,3)): a static slice fuses into
+        # the transpose, where a constant-index gather materializes a copy
+        sel = jax.lax.slice_in_dim(db_keys, lo, lo + nq, axis=1)
+    else:
+        sel = db_keys[:, lv]
+    rows = sel.transpose(1, 0, 2, 3).reshape(nq, N * A, D)
     q = q_keys[lv]                                          # (Q, A, D)
     row_valid = jnp.abs(rows).sum(-1) > 0                   # (Q, N*A)
     scan_of_row = jnp.repeat(jnp.arange(N, dtype=jnp.int32), A)[None]
@@ -148,32 +155,78 @@ def _key_distances(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...]):
 
 
 TOPK_BLOCK = 4096   # two-stage min-k block width (see _topk_min)
+TOPK_TILE = 128     # tile-min-cover tile width (see _topk_min_cover)
 
 
-def _topk_min(d2m, k: int):
+def _topk_min_cover(d2m, k: int):
+    """Exact min-k via the tile-min cover (the XLA twin of the Pallas
+    search kernel's selection): per-TOPK_TILE-tile min — a pure reduce, no
+    sort over the full row — then top-k tiles by (min, tile index), gather
+    the k*TILE covered entries, and lexicographically sort by (value,
+    column). Identical results to `-lax.top_k(-d2m, k)`.
+
+    Exactness incl. tie order: suppose a global top-k element x = (v, c)
+    lies in an UNselected tile t. Each of the k selected tiles has min < v,
+    or min == v with tile index < t; either way its min element precedes x
+    in (value asc, column asc) order (at equal value its column is lower,
+    being in an earlier tile). That is k elements preceding x —
+    contradiction, so the k selected tiles cover the global top-k. The
+    lexicographic sort then reproduces lax.top_k's value-then-lower-index
+    tie order among the covered entries. Padding (MAX_DIST_SQ at columns
+    >= M) sorts after every real entry of equal value (higher column) and
+    M >> k real entries exist, so padding is never selected.
+
+    Callers must ensure k <= ceil(M / TOPK_TILE) (the cover needs k tiles)."""
+    M = d2m.shape[-1]
+    T = TOPK_TILE
+    lead = d2m.shape[:-1]
+    pad = (-M) % T
+    if pad:
+        d2m = jnp.pad(d2m, ((0, 0),) * (d2m.ndim - 1) + ((0, pad),),
+                      constant_values=MAX_DIST_SQ)
+    Bt = (M + pad) // T
+    tmin = d2m.reshape(lead + (Bt, T)).min(axis=-1)
+    _, tidx = jax.lax.top_k(-tmin, k)          # ties: lower tile index first
+    cols = (tidx.astype(jnp.int32)[..., None] * T
+            + jnp.arange(T, dtype=jnp.int32)).reshape(lead + (k * T,))
+    vals = jnp.take_along_axis(d2m.reshape(lead + (Bt * T,)), cols, axis=-1)
+    sv, sc = jax.lax.sort([vals, cols], dimension=-1, num_keys=2)
+    return sv[..., :k], sc[..., :k]
+
+
+def _topk_min(d2m, k: int, strategy: str = "block"):
     """Exact min-k over the last axis, ascending, ties by lower index —
-    identical results to `-lax.top_k(-d2m, k)` at every size.
+    identical results to `-lax.top_k(-d2m, k)` at every size and strategy.
 
     For large rows the single-stage XLA TopK over the full (Q, A, N*A)
     distance matrix is the city-scale bottleneck (sort-based lowering:
     ~38 ms at 4.7M keys on one v5e chip vs a ~0.2 ms HBM read floor), so
-    rows >= 4*TOPK_BLOCK switch to an exact two-stage reduction: per-block
-    min-k over TOPK_BLOCK-wide tiles, then min-k over the B*k block winners.
-    Exactness incl. tie order: top_k breaks value ties by lower index, and
-    the block-major flattening preserves global index order, so the stage-2
-    selection reproduces the single-stage choice element-for-element (ties
-    within a block keep their stage-1 order; ties across blocks resolve by
-    block order = global order). Padding (when M % TOPK_BLOCK != 0) uses
-    MAX_DIST_SQ at indices >= M: real entries of equal value precede padding
-    in tie order, and M >> k, so padding is never selected.
+    rows >= 4*TOPK_BLOCK switch to an exact reduction chosen by `strategy`
+    (ContourDBConfig.topk_strategy — both are exact, pick by measurement):
+
+    - "block": per-TOPK_BLOCK-tile min-k, then min-k over the B*k block
+      winners. Exactness incl. tie order: top_k breaks value ties by lower
+      index, and the block-major flattening preserves global index order,
+      so the stage-2 selection reproduces the single-stage choice
+      element-for-element (ties within a block keep their stage-1 order;
+      ties across blocks resolve by block order = global order). Padding
+      (when M % TOPK_BLOCK != 0) uses MAX_DIST_SQ at indices >= M: real
+      entries of equal value precede padding in tie order, and M >> k, so
+      padding is never selected.
+    - "cover": the tile-min cover (_topk_min_cover) — stage 1 is a pure
+      min-reduce instead of a per-block sort.
 
     k > TOPK_BLOCK (e.g. range_search with cap > 4096) falls back to the
     single-stage path — stage 1 cannot return k winners from a narrower
-    block, and XLA rejects top_k with k beyond the axis size."""
+    block, and XLA rejects top_k with k beyond the axis size. "cover"
+    additionally requires k tiles to exist (k <= M/TOPK_TILE), else the
+    block strategy is used."""
     M = d2m.shape[-1]
     if M < 4 * TOPK_BLOCK or k > TOPK_BLOCK:
         neg, idx = jax.lax.top_k(-d2m, k)
         return -neg, idx.astype(jnp.int32)
+    if strategy == "cover" and k <= M // TOPK_TILE:
+        return _topk_min_cover(d2m, k)
     C = TOPK_BLOCK
     pad = (-M) % C
     if pad:
@@ -190,7 +243,7 @@ def _topk_min(d2m, k: int):
 
 
 def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
-                 nnk: int):
+                 nnk: int, strategy: str = "block"):
     """db_keys (N, L, A, 10); q_keys (L, A, 10) -> hits per (q_level, seq).
 
     Returns (gidx, seq_src, dist, valid) each (Q, A, nnk), hits sorted by
@@ -204,21 +257,23 @@ def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
           + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
           + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))
     nnk = min(nnk, N * A)   # tiny DBs have fewer rows than the k bound
-    dist, idx = _topk_min(d2m, nnk)                         # ascending distance
+    dist, idx = _topk_min(d2m, nnk, strategy)               # ascending distance
     valid = dist < jnp.minimum(ub[..., None], MAX_DIST_SQ)
     gidx = idx // A
     seq_src = idx % A
     return gidx.astype(jnp.int32), seq_src.astype(jnp.int32), dist, valid
 
 
-@functools.partial(jax.jit, static_argnames=("q_levels", "nnk"))
-def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int):
-    return _search_impl(db_keys, q_keys, searchable_n, q_levels, nnk)
+@functools.partial(jax.jit, static_argnames=("q_levels", "nnk", "strategy"))
+def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int,
+            strategy: str = "block"):
+    return _search_impl(db_keys, q_keys, searchable_n, q_levels, nnk, strategy)
 
 
-@functools.partial(jax.jit, static_argnames=("q_levels", "cap"))
+@functools.partial(jax.jit, static_argnames=("q_levels", "cap", "strategy"))
 def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
-                  q_levels: Tuple[int, ...], cap: int):
+                  q_levels: Tuple[int, ...], cap: int,
+                  strategy: str = "block"):
     """layerRangeSearch analog (contour_db.h:204-216, contour_db.cpp:405-424):
     every searchable key within max_dist_sq of any query (q_level, anchor)
     key, ascending distance, capped at `cap` rows.
@@ -242,7 +297,7 @@ def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
     # the full 14M-element sort at city scale; padded/masked slots carry
     # value >= max_dist_sq, so validity comes from the selected VALUES
     vals, order = _topk_min(jnp.where(inr, flat, MAX_DIST_SQ)[None],
-                            min(cap, flat.size))
+                            min(cap, flat.size), strategy)
     vals, order = vals[0], jnp.minimum(order[0], flat.size - 1)
     if order.shape[0] < cap:    # tiny DBs: fewer rows than the cap
         pad_k = cap - order.shape[0]
@@ -443,7 +498,8 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     N = store.keys.shape[0]
 
     gidx, seq_src, dist, valid = _search_impl(
-        store.keys, query.keys, searchable_n, q_levels, nnk)
+        store.keys, query.keys, searchable_n, q_levels, nnk,
+        cfg.db.topk_strategy)
     Q, A, K = gidx.shape
     Hfull = Q * A * K
     lv = jnp.array(q_levels, jnp.int32)
@@ -1433,7 +1489,8 @@ class ContourDB:
         # (one fetch total; an empty window just returns zero hits)
         packed = np.asarray(_device_fetch(_range_search(
             self.store.keys, query.keys, self.state[1],
-            jnp.float32(max_dist_sq), tuple(self.cfg.db.q_levels), int(cap))))
+            jnp.float32(max_dist_sq), tuple(self.cfg.db.q_levels), int(cap),
+            self.cfg.db.topk_strategy)))
         n_total = (int(packed[0, 0]) << 20) + int(packed[0, 1])
         hits = [(int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
                 for r in packed[1:] if r[4] >= 0.0]

@@ -32,9 +32,12 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-@functools.partial(jax.jit, static_argnames=("q_levels", "nnk", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("q_levels", "nnk", "mesh",
+                                    "topk_strategy"))
 def sharded_search(db_keys, q_keys, searchable_n,
-                   q_levels: Tuple[int, ...], nnk: int, mesh: Mesh):
+                   q_levels: Tuple[int, ...], nnk: int, mesh: Mesh,
+                   topk_strategy: str = "block"):
     """Row-sharded brute-force top-k key search.
 
     db_keys  (N, L, A, 10) sharded on N over mesh axis "data";
@@ -54,7 +57,12 @@ def sharded_search(db_keys, q_keys, searchable_n,
         ax = jax.lax.axis_index("data")
         N_loc = db_rows.shape[0]
         base = ax.astype(jnp.int32) * N_loc
-        rows = db_rows[:, lv].transpose(1, 0, 2, 3).reshape(len(q_levels), N_loc * A, -1)
+        lo, nq = q_levels[0], len(q_levels)
+        if q_levels == tuple(range(lo, lo + nq)):
+            sel = jax.lax.slice_in_dim(db_rows, lo, lo + nq, axis=1)
+        else:
+            sel = db_rows[:, lv]
+        rows = sel.transpose(1, 0, 2, 3).reshape(nq, N_loc * A, -1)
         qk = q[lv]
         row_valid = jnp.abs(rows).sum(-1) > 0
         scan_of_row = base + jnp.repeat(jnp.arange(N_loc, dtype=jnp.int32), A)[None]
@@ -73,7 +81,7 @@ def sharded_search(db_keys, q_keys, searchable_n,
         d2 = jnp.where(ok[:, None, :], d2, MAX_DIST_SQ)
         # two-stage exact min-k (db._topk_min) for big shards: avoids the
         # sort-based full-width TopK that dominates at city scale
-        dist_loc, idx = _topk_min(d2, nnk)
+        dist_loc, idx = _topk_min(d2, nnk, topk_strategy)
         gscan = base + idx // A
         seq = idx % A
         # gather per-device candidates: (Q, A, k) -> all_gather over devices

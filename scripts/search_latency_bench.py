@@ -10,8 +10,11 @@ Variants (select with --variants, comma-separated, in run order):
   bur     sanity check: block_until_ready vs device_get on a K-chain
   floor   HBM read floor: running min over the flat key matrix (f32 + bf16)
   dist    masked distance matrix only (db._key_distances, materializing)
-  search  the shipping path: db._search_impl (two-stage exact _topk_min)
-  searchbf16  same with bfloat16 keys
+  search  the shipping path: db._search_impl (two-stage exact _topk_min,
+          strategy "block": per-4096-block min-k)
+  searchcover  db._search_impl with topk strategy "cover" (tile-min cover:
+          stage 1 is a pure min-reduce — no per-block sort)
+  searchbf16  same as search with bfloat16 keys
   searchfresh  same, but the chain body perturbs db_keys by a runtime
           factor that is exactly 1.0f, so the (N,L,A,D)->(Q,N*A,D) layout
           gather/transpose inside _key_distances is loop-carried and CANNOT
@@ -151,10 +154,21 @@ def main():
             c, _ = jax.lax.scan(body, qq, None, length=n_iter)
             return c[0, 0, 0]
         if "search" in variants:
-            per_op("search[f32 two-stage]", chained_search, q, db_keys)
+            per_op("search[f32 block]", chained_search, q, db_keys)
         if "searchbf16" in variants:
-            per_op("search[bf16 two-stage]", chained_search, q,
+            per_op("search[bf16 block]", chained_search, q,
                    db_keys.astype(jnp.bfloat16))
+
+    if "searchcover" in variants:
+        @functools.partial(jax.jit, static_argnames=("n_iter",))
+        def chained_search_cover(qq, keys, n_iter):
+            def body(c, _):
+                g, s, d, v = _search_impl(keys, c, sn, QL, args.nnk,
+                                          strategy="cover")
+                return c * (1.0 + 1e-30 * d.min()), None
+            c, _ = jax.lax.scan(body, qq, None, length=n_iter)
+            return c[0, 0, 0]
+        per_op("search[f32 cover]", chained_search_cover, q, db_keys)
 
     if "searchfresh" in variants:
         @functools.partial(jax.jit, static_argnames=("n_iter",))

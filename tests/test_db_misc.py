@@ -25,9 +25,10 @@ def _descs(n, world=None, step=10.0):
 
 
 def test_topk_min_two_stage_exact():
-    """_topk_min's two-stage path (rows >= 4*TOPK_BLOCK) must equal the
-    single-stage lax.top_k element-for-element — values, indices, AND tie
-    order — including a non-divisible (padded) width and duplicate values."""
+    """_topk_min's large-row strategies ("block" two-stage and "cover"
+    tile-min cover) must equal the single-stage lax.top_k
+    element-for-element — values, indices, AND tie order — including a
+    non-divisible (padded) width and duplicate values."""
     import jax
     import jax.numpy as jnp
 
@@ -42,11 +43,14 @@ def test_topk_min_two_stage_exact():
         d[:, 1, 1000:40000] = MAX_DIST_SQ
         d = jnp.asarray(d)
         ref_neg, ref_idx = jax.lax.top_k(-d, k)
-        got_d, got_i = _topk_min(d, k)
-        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(-ref_neg),
-                                      err_msg=f"M={M}")
-        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_idx),
-                                      err_msg=f"M={M}")
+        for strategy in ("block", "cover"):
+            got_d, got_i = _topk_min(d, k, strategy)
+            np.testing.assert_array_equal(
+                np.asarray(got_d), np.asarray(-ref_neg),
+                err_msg=f"M={M} strategy={strategy}")
+            np.testing.assert_array_equal(
+                np.asarray(got_i), np.asarray(ref_idx),
+                err_msg=f"M={M} strategy={strategy}")
     # below the threshold: the single-stage path, trivially identical
     d = jnp.asarray(rng.uniform(0.0, 4.0, (2, 2, 1440)).astype(np.float32))
     got_d, got_i = _topk_min(d, k)

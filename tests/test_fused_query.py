@@ -219,3 +219,25 @@ def test_merge_proposals_vs_host_replica():
             np.testing.assert_allclose(float(np.asarray(tt.neg_d)[ci]),
                                        negd_h, atol=1e-4)
             assert int(np.asarray(votes)[ci]) == cand.props[0].vote_cnt
+
+
+def test_topk_strategy_cover_plumbs_through_query():
+    """ContourDBConfig.topk_strategy='cover' must reach the fused query's
+    search (config threading / trace-time plumbing): same detections as the
+    default 'block' strategy (both are exact min-k, so results are equal at
+    every store size; at small stores both use the single-stage path and
+    this asserts only that the alternate config compiles and runs)."""
+    from contour_context_tpu.config import ContourDBConfig
+
+    world = make_world(11, n_structs=120, extent=120.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(6)]
+    poses.append((10.5, 0.8, 0.2))    # revisit pose 1
+    results = {}
+    for strat in ("block", "cover"):
+        cfg = PipelineConfig(cm=ContourManagerConfig(max_points=8192),
+                             db=ContourDBConfig(topk_strategy=strat))
+        _, outcomes = drive(world, poses, 6.0, cfg)
+        results[strat] = [(i, None if r is None else (r[0], round(float(r[1]), 5)))
+                          for i, r, _ in outcomes]
+    assert results["block"] == results["cover"]
+    assert any(r is not None for _, r in results["block"])
