@@ -338,9 +338,9 @@ def main():
     # factor that is exactly 1.0f, so iterations are data-dependent (XLA
     # cannot hoist or parallelize them) but numerically identical.
     @functools.partial(jax.jit, static_argnames=("K", "pcfg"))
-    def query_chain(store, q0, searchable, K, pcfg):
+    def query_chain(store, keys_q, q0, searchable, K, pcfg):
         def body(q, _):
-            rec = _query_step_impl(store, q, searchable, pcfg)
+            rec = _query_step_impl(store, q, searchable, pcfg, keys_q)
             one = 1.0 + 1e-30 * rec[1]
             q = jax.tree.map(
                 lambda a: a * one.astype(a.dtype)
@@ -350,9 +350,9 @@ def main():
         return recs
 
     @functools.partial(jax.jit, static_argnames=("K", "pcfg"))
-    def localize_chain(store, state, pts_b0, K, pcfg):
+    def localize_chain(store, keys_q, state, pts_b0, K, pcfg):
         def body(pts_b, _):
-            recs = _localize_block(store, state, pts_b, pcfg)
+            recs = _localize_block(store, state, pts_b, pcfg, keys_q)
             one = 1.0 + 1e-30 * recs[0, 1]
             return pts_b * one.astype(pts_b.dtype), recs
         _, recs = jax.lax.scan(body, pts_b0, None, length=K)
@@ -386,12 +386,15 @@ def main():
             lambda a: jnp.tile(a[:n_have],
                                (reps,) + (1,) * (a.ndim - 1))[:n_db],
             db.store)
+        from contour_context_tpu.db import _keys_to_q_layout
+        big.keys_q = jax.jit(_keys_to_q_layout)(big.store.keys)
         big.ts_store = jnp.arange(n_db, dtype=jnp.float32)
         big.state = jnp.asarray([n_db, n_db - 32], jnp.int32)
         big.n = n_db
         big.seq_of_gidx = list(range(n_db))
         dt_big[n_db] = timed_chain(
-            lambda K: query_chain(big.store, qdesc, big.state[1], K, cfg),
+            lambda K: query_chain(big.store, big.keys_q, qdesc,
+                                  big.state[1], K, cfg),
             2, 12)
         log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms")
 
@@ -400,8 +403,8 @@ def main():
         if n_db in dt_loc_ms and in_budget(60 if n_db < 100000 else 100):
             log(f"phase localize vs {n_db}")
             per_iter = timed_chain(
-                lambda K: localize_chain(big.store, big.state, loc_pts, K,
-                                         cfg), 1, 4)
+                lambda K: localize_chain(big.store, big.keys_q, big.state,
+                                         loc_pts, K, cfg), 1, 4)
             dt_loc_ms[n_db] = per_iter / B_BLK
             log(f"localize16 vs {n_db}: {dt_loc_ms[n_db]:.3f} ms/scan")
         del big

@@ -194,12 +194,14 @@ class ContourDBConfig:
                                   # overflow_cand counts drops — 64 keeps even
                                   # 14-lap self-similar loops mostly unclipped)
     dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
-    topk_strategy: str = "block"  # exact city-scale min-k reduction: "block"
-                                  # (two-stage per-4096-block min-k) or
-                                  # "cover" (tile-min cover: stage 1 is a
-                                  # pure reduce). Both element-exact vs
-                                  # lax.top_k — pick by on-chip measurement
-                                  # (db._topk_min)
+    topk_strategy: str = "cover"  # exact city-scale min-k reduction: "cover"
+                                  # (tile-min cover: stage 1 is a pure
+                                  # reduce) or "block" (two-stage
+                                  # per-4096-block min-k). Both element-exact
+                                  # vs lax.top_k; measured on-chip 2026-08-18
+                                  # at 131k scans: cover 11.8 ms vs block
+                                  # 17.3 ms/query (pre-layout-fix numbers,
+                                  # db._topk_min / PARITY.md)
 
     def __post_init__(self):
         # check-3 stats tables cover the DIST_BIN_LAYERS levels only; an

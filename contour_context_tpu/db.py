@@ -79,26 +79,53 @@ def _device_fetch(x):
 # device helpers
 # ---------------------------------------------------------------------------
 
-def _append_impl(store: ScanDesc, ts_store, state, desc: ScanDesc, ts):
+def _keys_to_q_layout(keys):
+    """(N, L, A, D) scan-major keys -> (L, D, N*A) search-layout copy.
+
+    The search wants the row axis MINOR (lanes): with rows minor, the key
+    distance is ten fused broadcast-FMA passes over contiguous N*A-lane
+    vectors (see _key_distances). Doing this transpose per query is the
+    city-scale bottleneck — measured 14.1 ms alone at 131k scans on a v5e
+    (2026-08-18, scripts/search_latency_bench.py `transp`) vs 0.46 ms for
+    the distance itself from a pre-transposed store — so ContourDB maintains
+    the (L, D, capacity*A) copy INCREMENTALLY at append time (keys_q) and
+    this helper exists for (re)derivation at load/merge time and for the
+    compat wrappers that tests drive with scan-major keys. Values are pure
+    copies: the maintained copy is bit-identical to the derived one.
+    """
+    N, L, A, D = keys.shape
+    return keys.transpose(1, 3, 0, 2).reshape(L, D, N * A)
+
+
+def _append_impl(store: ScanDesc, keys_q, ts_store, state, desc: ScanDesc,
+                 ts):
     """Append desc at row state[0]; state = (n, pop_ptr) int32 device scalars.
 
     The row index lives on device so the steady-state loop uploads nothing —
     per-scan H2D over a high-latency link would dominate the pipeline.
     The single definition is shared by _append, _scan_step and
     _process_block so the three entry modes cannot fork append semantics.
+    `keys_q` is the (L, D, capacity*A) search-layout key copy (see
+    _keys_to_q_layout): the scan's keys land in it twice-transposed at
+    columns [n*A, (n+1)*A) — an (L, D, A) block write, so the per-query
+    layout transpose never happens.
     """
     n = state[0]
     new_store = jax.tree.map(
         lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, n, 0),
         store, desc)
+    A = desc.keys.shape[1]
+    new_keys_q = jax.lax.dynamic_update_slice(
+        keys_q, desc.keys.transpose(0, 2, 1).astype(keys_q.dtype),
+        (0, 0, n * A))
     new_ts = jax.lax.dynamic_update_index_in_dim(
         ts_store, jnp.asarray(ts, ts_store.dtype), n, 0)
-    return new_store, new_ts, state.at[0].add(1)
+    return new_store, new_keys_q, new_ts, state.at[0].add(1)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _append(store: ScanDesc, ts_store, state, desc: ScanDesc, ts):
-    return _append_impl(store, ts_store, state, desc, ts)
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _append(store: ScanDesc, keys_q, ts_store, state, desc: ScanDesc, ts):
+    return _append_impl(store, keys_q, ts_store, state, desc, ts)
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnames=("min_elapse", "max_elapse"))
@@ -114,42 +141,48 @@ def _update_window(state, ts_store, curr_ts, min_elapse: float,
     return _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse)
 
 
-def _key_distances(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...]):
+def _key_distances(keys_q, q_keys, searchable_n, q_levels: Tuple[int, ...]):
     """Masked squared key distances, (Q, A, N*A), invalid rows at MAX_DIST_SQ.
 
-    MXU-shaped: |q|^2 + |r|^2 - 2 q.r^T — the cross term is a batched matmul,
-    which is how this scales to 100k+ rows on TPU. Masks: zero (invalid) keys
-    on either side, and the temporal-window searchability prefix.
+    `keys_q` is the SEARCH-LAYOUT key store (L, D, N*A) — row axis minor
+    (see _keys_to_q_layout; ContourDB maintains it at append time). With
+    rows on the lane axis the distance is a direct squared-difference
+    accumulated over the D=10 key dims: ten fused broadcast-FMA passes over
+    contiguous N*A-lane vectors, pure VPU streaming at HBM bandwidth
+    (measured 0.46 ms/query at 131k scans on a v5e). The tempting
+    alternatives are both slow, measured 2026-08-18
+    (scripts/search_latency_bench.py):
+    - |q|^2+|r|^2-2 q.r^T with the cross term as a batched matmul is a
+      DEGENERATE matmul (M=6 anchors, K=10 dims — the MXU pads both to its
+      128-wide tiles): ~10 ms/query;
+    - any formulation over the scan-major (N, L, A, D) store pays a
+      ~14 ms/query layout transpose first.
+    Direct differencing is also numerically tighter than the norm-cross
+    identity (no cancellation), matching the numpy oracle more closely.
+    Masks: zero (invalid) keys on either side, and the temporal-window
+    searchability prefix.
     """
-    N, L, A, D = db_keys.shape
+    L, D, NA = keys_q.shape
+    A = q_keys.shape[1]
     lv = jnp.array(q_levels, jnp.int32)
     lo, nq = q_levels[0], len(q_levels)
     if q_levels == tuple(range(lo, lo + nq)):
-        # contiguous levels (the default (1,2,3)): a static slice fuses into
-        # the transpose, where a constant-index gather materializes a copy
-        sel = jax.lax.slice_in_dim(db_keys, lo, lo + nq, axis=1)
+        kt = jax.lax.slice_in_dim(keys_q, lo, lo + nq, axis=0)
     else:
-        sel = db_keys[:, lv]
-    rows = sel.transpose(1, 0, 2, 3).reshape(nq, N * A, D)
-    q = q_keys[lv]                                          # (Q, A, D)
-    row_valid = jnp.abs(rows).sum(-1) > 0                   # (Q, N*A)
-    scan_of_row = jnp.repeat(jnp.arange(N, dtype=jnp.int32), A)[None]
-    searchable = scan_of_row < searchable_n
-    q_valid = jnp.abs(q).sum(-1) > 0                        # (Q, A)
-
-    # bf16 keys (cfg.cm.keys_bf16) stream at half the HBM bytes; the MXU
-    # accumulates in f32 either way (preferred_element_type), and the norm
-    # reductions upcast in-register (XLA fuses the cast, no f32 copy).
-    # HIGHEST precision only matters for f32 inputs (avoids bf16 splitting).
+        kt = keys_q[lv]
     f32 = jnp.float32
-    prec = (jax.lax.Precision.HIGHEST if rows.dtype == f32
-            else jax.lax.Precision.DEFAULT)
+    q = q_keys[lv]                                          # (Q, A, D)
     q_f = q.astype(f32)
-    cross = jnp.einsum("qad,qnd->qan", q, rows, precision=prec,
-                       preferred_element_type=f32)
-    d2 = (jnp.sum(q_f * q_f, axis=-1)[:, :, None]
-          + jnp.sum(rows.astype(f32) ** 2, axis=-1)[:, None, :] - 2.0 * cross)
-    d2 = jnp.maximum(d2, 0.0)
+    # bf16 keys (cfg.cm.keys_bf16) stream at half the HBM bytes and upcast
+    # in-register inside the fused accumulation (no f32 copy)
+    d2 = jnp.zeros((nq, A, NA), f32)
+    for d in range(D):                                      # D=10, static
+        diff = kt[:, d, :][:, None, :].astype(f32) - q_f[:, :, d][:, :, None]
+        d2 = d2 + diff * diff
+    row_valid = jnp.abs(kt.astype(f32)).sum(1) > 0          # (Q, N*A)
+    scan_of_row = (jnp.arange(NA, dtype=jnp.int32) // A)[None]
+    searchable = scan_of_row < searchable_n
+    q_valid = jnp.abs(q_f).sum(-1) > 0                      # (Q, A)
     ok = row_valid[:, None, :] & searchable[:, None, :] & q_valid[..., None]
     return jnp.where(ok, d2, MAX_DIST_SQ), q_f
 
@@ -242,21 +275,23 @@ def _topk_min(d2m, k: int, strategy: str = "block"):
     return -neg2, idx
 
 
-def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
+def _search_impl(keys_q, q_keys, searchable_n, q_levels: Tuple[int, ...],
                  nnk: int, strategy: str = "block"):
-    """db_keys (N, L, A, 10); q_keys (L, A, 10) -> hits per (q_level, seq).
+    """keys_q (L, D, N*A) search layout; q_keys (L, A, 10) -> hits per
+    (q_level, seq).
 
     Returns (gidx, seq_src, dist, valid) each (Q, A, nnk), hits sorted by
     ascending distance, bounded by the per-key adaptive distance upper bound
     (contour_db.h:733-749) and by searchability.
     """
-    N, L, A, D = db_keys.shape
-    d2m, q = _key_distances(db_keys, q_keys, searchable_n, q_levels)
+    A = q_keys.shape[1]
+    NA = keys_q.shape[2]
+    d2m, q = _key_distances(keys_q, q_keys, searchable_n, q_levels)
     k0, k1, k2 = q[..., 0], q[..., 1], q[..., 2]
     ub = (jnp.maximum((k0 - k0 * 0.8) ** 2, (k0 - k0 / 0.8) ** 2)
           + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
           + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))
-    nnk = min(nnk, N * A)   # tiny DBs have fewer rows than the k bound
+    nnk = min(nnk, NA)      # tiny DBs have fewer rows than the k bound
     dist, idx = _topk_min(d2m, nnk, strategy)               # ascending distance
     valid = dist < jnp.minimum(ub[..., None], MAX_DIST_SQ)
     gidx = idx // A
@@ -267,13 +302,17 @@ def _search_impl(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...],
 @functools.partial(jax.jit, static_argnames=("q_levels", "nnk", "strategy"))
 def _search(db_keys, q_keys, searchable_n, q_levels: Tuple[int, ...], nnk: int,
             strategy: str = "block"):
-    return _search_impl(db_keys, q_keys, searchable_n, q_levels, nnk, strategy)
+    """Compat wrapper over _search_impl taking the scan-major (N, L, A, D)
+    keys — derives the search layout in-graph (the per-dispatch transpose
+    production avoids; fine for tests / the host spec path)."""
+    return _search_impl(_keys_to_q_layout(db_keys), q_keys, searchable_n,
+                        q_levels, nnk, strategy)
 
 
 @functools.partial(jax.jit, static_argnames=("q_levels", "cap", "strategy"))
 def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
                   q_levels: Tuple[int, ...], cap: int,
-                  strategy: str = "block"):
+                  strategy: str = "block", keys_q=None):
     """layerRangeSearch analog (contour_db.h:204-216, contour_db.cpp:405-424):
     every searchable key within max_dist_sq of any query (q_level, anchor)
     key, ascending distance, capped at `cap` rows.
@@ -284,9 +323,10 @@ def _range_search(db_keys, q_keys, searchable_n, max_dist_sq,
     city-scale maps; rows 1.. are (gidx, level, seq_src, seq_tgt, dist_sq),
     dist_sq == -1 when unused.
     """
-    d2m, _ = _key_distances(db_keys, q_keys, searchable_n, q_levels)
+    kq = keys_q if keys_q is not None else _keys_to_q_layout(db_keys)
+    d2m, _ = _key_distances(kq, q_keys, searchable_n, q_levels)
     Q, A, R = d2m.shape
-    n_rows_per_level = db_keys.shape[2]            # A of the store layout
+    n_rows_per_level = A                           # anchors per (scan, level)
     flat = d2m.reshape(-1)
     # radii beyond the invalid-row sentinel are meaningless (d2m is capped
     # there), and clamping keeps the mask value strictly out of range below
@@ -486,19 +526,25 @@ def _unpack_record(v: np.ndarray) -> QueryRecord:
 
 
 def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
-                     pcfg: PipelineConfig):
+                     pcfg: PipelineConfig, keys_q=None):
     """queryRangedKNN (contour_db.h:698-811) as one fused computation.
 
     Rows below `searchable_n` are searchable. Everything (store, query) is
     device-resident, so a query costs zero host->device transfers.
+    `keys_q` is the maintained (L, D, N*A) search-layout key copy
+    (_keys_to_q_layout) — when omitted it is derived in-graph from
+    store.keys (bit-identical values, but pays the per-dispatch layout
+    transpose production avoids; the compat path for tests).
     """
     cfg = pcfg
     q_levels = tuple(cfg.db.q_levels)
     nnk = cfg.db.nnk
     N = store.keys.shape[0]
+    if keys_q is None:
+        keys_q = _keys_to_q_layout(store.keys)
 
     gidx, seq_src, dist, valid = _search_impl(
-        store.keys, query.keys, searchable_n, q_levels, nnk,
+        keys_q, query.keys, searchable_n, q_levels, nnk,
         cfg.db.topk_strategy)
     Q, A, K = gidx.shape
     Hfull = Q * A * K
@@ -585,30 +631,31 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
 def _query_step(store: ScanDesc, query: ScanDesc, state,
-                pcfg: PipelineConfig):
-    return _query_step_impl(store, query, state[1], pcfg)
+                pcfg: PipelineConfig, keys_q=None):
+    return _query_step_impl(store, query, state[1], pcfg, keys_q)
 
 
-def _scan_step_impl(store: ScanDesc, ts_store, state, recs_store, points, ts,
-                    pcfg: PipelineConfig):
+def _scan_step_impl(store: ScanDesc, keys_q, ts_store, state, recs_store,
+                    points, ts, pcfg: PipelineConfig):
     """Body of the fused per-scan streaming step (see _scan_step)."""
     from contour_context_tpu.ops.descriptor import build_descriptor
 
     desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
-    rec = _query_step_impl(store, desc, state[1], pcfg)
+    rec = _query_step_impl(store, desc, state[1], pcfg, keys_q)
     recs_store = jax.lax.dynamic_update_slice(
         recs_store, rec[None].astype(recs_store.dtype), (state[0], 0))
-    store, ts_store, state = _append_impl(store, ts_store, state, desc, ts)
+    store, keys_q, ts_store, state = _append_impl(store, keys_q, ts_store,
+                                                  state, desc, ts)
     tb = pcfg.db.tb
     state = _update_window_impl(state, ts_store, ts, tb.min_elapse,
                                 tb.max_elapse)
-    return store, ts_store, state, recs_store, rec
+    return store, keys_q, ts_store, state, recs_store, rec
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
                    static_argnames=("pcfg",))
-def _scan_step(store: ScanDesc, ts_store, state, recs_store, points, ts,
-               pcfg: PipelineConfig):
+def _scan_step(store: ScanDesc, keys_q, ts_store, state, recs_store, points,
+               ts, pcfg: PipelineConfig):
     """The FULLY fused per-scan streaming step, one dispatch per scan:
 
         points -> descriptor build -> query (window state BEFORE this scan's
@@ -624,16 +671,16 @@ def _scan_step(store: ScanDesc, ts_store, state, recs_store, points, ts,
     can later leave the device as ONE contiguous buffer fetch — per-handle
     fetches through a high-latency link cost ~0.25 s EACH once the process
     is in post-first-fetch mode (see drain_handles).
-    Returns (store', ts_store', state', recs_store', packed record).
+    Returns (store', keys_q', ts_store', state', recs_store', packed record).
     """
-    return _scan_step_impl(store, ts_store, state, recs_store, points, ts,
-                           pcfg)
+    return _scan_step_impl(store, keys_q, ts_store, state, recs_store,
+                           points, ts, pcfg)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
                    static_argnames=("pcfg",))
-def _step_chain(store: ScanDesc, ts_store, state, recs_store, points_k, ts_k,
-                pcfg: PipelineConfig):
+def _step_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
+                points_k, ts_k, pcfg: PipelineConfig):
     """K sequential fused per-scan steps in ONE dispatch (lax.scan over
     _scan_step_impl).
 
@@ -647,17 +694,17 @@ def _step_chain(store: ScanDesc, ts_store, state, recs_store, points_k, ts_k,
     + sync overhead of a single call, so differencing two K values isolates
     pure device time (bench.py headline).
 
-    Returns (store', ts_store', state', recs_store', records (K, W)).
+    Returns (store', keys_q', ts_store', state', recs_store', records (K, W)).
     """
     def body(carry, x):
         pts, t = x
-        store, ts_store, state, recs_store, rec = _scan_step_impl(
+        store, keys_q, ts_store, state, recs_store, rec = _scan_step_impl(
             *carry, pts, t, pcfg)
-        return (store, ts_store, state, recs_store), rec
+        return (store, keys_q, ts_store, state, recs_store), rec
 
-    (store, ts_store, state, recs_store), recs = jax.lax.scan(
-        body, (store, ts_store, state, recs_store), (points_k, ts_k))
-    return store, ts_store, state, recs_store, recs
+    (store, keys_q, ts_store, state, recs_store), recs = jax.lax.scan(
+        body, (store, keys_q, ts_store, state, recs_store), (points_k, ts_k))
+    return store, keys_q, ts_store, state, recs_store, recs
 
 
 def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
@@ -671,7 +718,8 @@ def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
 
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
-def _localize_block(store: ScanDesc, state, points_b, pcfg: PipelineConfig):
+def _localize_block(store: ScanDesc, state, points_b, pcfg: PipelineConfig,
+                    keys_q=None):
     """Map-serving mode: B point clouds -> B packed records, ONE dispatch,
     WITHOUT mutating the store (descriptor build vmapped + batched queries
     against the frozen searchable prefix). No reference analog — the
@@ -679,11 +727,14 @@ def _localize_block(store: ScanDesc, state, points_b, pcfg: PipelineConfig):
     serving a prebuilt map wants the decoupled, batched form."""
     from contour_context_tpu.ops.descriptor import build_descriptor
 
+    if keys_q is None:
+        keys_q = _keys_to_q_layout(store.keys)
     descs = jax.vmap(lambda p: build_descriptor(p, pcfg.cm, pcfg.gmm))(points_b)
-    return jax.vmap(lambda q: _query_step_impl(store, q, state[1], pcfg))(descs)
+    return jax.vmap(
+        lambda q: _query_step_impl(store, q, state[1], pcfg, keys_q))(descs)
 
 
-def _process_block_impl(store: ScanDesc, ts_store, state, recs_store,
+def _process_block_impl(store: ScanDesc, keys_q, ts_store, state, recs_store,
                         descs: ScanDesc, ts_b, pcfg: PipelineConfig):
     """Body of the batched block step (see _process_block)."""
     B = ts_b.shape[0]
@@ -694,8 +745,8 @@ def _process_block_impl(store: ScanDesc, ts_store, state, recs_store,
         desc, t = x
         return _append_impl(*carry, desc, t), None
 
-    (store, ts_store, state), _ = jax.lax.scan(
-        append_one, (store, ts_store, state), (descs, ts_b))
+    (store, keys_q, ts_store, state), _ = jax.lax.scan(
+        append_one, (store, keys_q, ts_store, state), (descs, ts_b))
 
     # per-query window state: query b sees pushes of t_0..t_{b-1}
     def push_one(carry, t_prev):
@@ -706,16 +757,16 @@ def _process_block_impl(store: ScanDesc, ts_store, state, recs_store,
     state, searchable_b = jax.lax.scan(push_one, state, ts_b)
 
     recs = jax.vmap(
-        lambda q, sn: _query_step_impl(store, q, sn, pcfg),
+        lambda q, sn: _query_step_impl(store, q, sn, pcfg, keys_q),
         in_axes=(0, 0))(descs, searchable_b)
     recs_store = jax.lax.dynamic_update_slice(
         recs_store, recs.astype(recs_store.dtype), (row0, 0))
-    return store, ts_store, state, recs_store, recs
+    return store, keys_q, ts_store, state, recs_store, recs
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
                    static_argnames=("pcfg",))
-def _process_block(store: ScanDesc, ts_store, state, recs_store,
+def _process_block(store: ScanDesc, keys_q, ts_store, state, recs_store,
                    descs: ScanDesc, ts_b, pcfg: PipelineConfig):
     """Batched throughput mode: append + query a block of B scans at once.
 
@@ -727,17 +778,17 @@ def _process_block(store: ScanDesc, ts_store, state, recs_store,
     query's searchable prefix is replayed with a scan over the window updates,
     and the B queries run under vmap.
 
-    Returns (store', ts_store', state', recs_store', records
+    Returns (store', keys_q', ts_store', state', recs_store', records
     (B, RECORD_WIDTH)); the records are also written into the `recs_store`
     ring at the block's rows (see _scan_step).
     """
-    return _process_block_impl(store, ts_store, state, recs_store, descs,
-                               ts_b, pcfg)
+    return _process_block_impl(store, keys_q, ts_store, state, recs_store,
+                               descs, ts_b, pcfg)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
                    static_argnames=("pcfg",))
-def _block_chain(store: ScanDesc, ts_store, state, recs_store,
+def _block_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
                  descs_nb: ScanDesc, ts_nb, pcfg: PipelineConfig):
     """NB sequential block steps in ONE dispatch (lax.scan over
     _process_block_impl); `descs_nb` is (NB, B)-stacked, `ts_nb` (NB, B).
@@ -747,13 +798,13 @@ def _block_chain(store: ScanDesc, ts_store, state, recs_store,
     per-block device time. Returns (..., records (NB, B, W))."""
     def body(carry, x):
         descs, ts_b = x
-        store, ts_store, state, recs_store, recs = _process_block_impl(
+        store, keys_q, ts_store, state, recs_store, recs = _process_block_impl(
             *carry, descs, ts_b, pcfg)
-        return (store, ts_store, state, recs_store), recs
+        return (store, keys_q, ts_store, state, recs_store), recs
 
-    (store, ts_store, state, recs_store), recs = jax.lax.scan(
-        body, (store, ts_store, state, recs_store), (descs_nb, ts_nb))
-    return store, ts_store, state, recs_store, recs
+    (store, keys_q, ts_store, state, recs_store), recs = jax.lax.scan(
+        body, (store, keys_q, ts_store, state, recs_store), (descs_nb, ts_nb))
+    return store, keys_q, ts_store, state, recs_store, recs
 
 
 class QueryHandle:
@@ -1041,6 +1092,11 @@ class ContourDB:
         self.capacity = capacity
         self.n = 0                # host mirror of state[0]
         self.store: Optional[ScanDesc] = None
+        # (L, D, capacity*A) search-layout key copy, maintained at append
+        # time (see _keys_to_q_layout — the per-query transpose it avoids is
+        # the city-scale search bottleneck); always bit-identical to
+        # _keys_to_q_layout(store.keys)
+        self.keys_q = None
         self.ts_store = None      # (capacity,) f32 device timestamps
         self.state = None         # (2,) i32 device (n, pop_ptr/searchable_n)
         # (capacity, RECORD_WIDTH) f32 device ring of per-scan query records
@@ -1099,6 +1155,11 @@ class ContourDB:
         self.store = jax.tree.map(
             lambda a: jnp.concatenate(
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), self.store)
+        L, D, _na = self.keys_q.shape
+        A = self.store.keys.shape[2]
+        self.keys_q = jnp.concatenate(
+            [self.keys_q, jnp.zeros((L, D, pad * A), self.keys_q.dtype)],
+            axis=2)
         self.ts_store = jnp.concatenate(
             [self.ts_store, jnp.zeros((pad,), jnp.float32)])
         if self.recs_store is not None:
@@ -1122,6 +1183,9 @@ class ContourDB:
                 jax.ShapeDtypeStruct((self.cfg.cm.max_points, 4), jnp.float32))
         self.store = jax.tree.map(
             lambda x: jnp.zeros((self.capacity,) + x.shape, x.dtype), desc)
+        L, A, D = desc.keys.shape
+        self.keys_q = jnp.zeros((L, D, self.capacity * A),
+                                desc.keys.dtype)
         self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
         self.state = jnp.zeros((2,), jnp.int32)
 
@@ -1143,8 +1207,8 @@ class ContourDB:
             self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
                                         jnp.float32)
         row = self.n
-        (self.store, self.ts_store, self.state, self.recs_store,
-         rec) = _scan_step(self.store, self.ts_store, self.state,
+        (self.store, self.keys_q, self.ts_store, self.state, self.recs_store,
+         rec) = _scan_step(self.store, self.keys_q, self.ts_store, self.state,
                            self.recs_store, points, ts, self.cfg)
         if isinstance(ts, (int, float, np.floating)):
             self.ts.append(float(ts))
@@ -1159,8 +1223,8 @@ class ContourDB:
             self._init_store(desc)
         self._ensure_capacity(1)
         assert self.n < self.capacity, "DB capacity exceeded"
-        self.store, self.ts_store, self.state = _append(
-            self.store, self.ts_store, self.state, desc, ts)
+        self.store, self.keys_q, self.ts_store, self.state = _append(
+            self.store, self.keys_q, self.ts_store, self.state, desc, ts)
         if isinstance(ts, (int, float, np.floating)):
             self.ts.append(float(ts))
         self.seq_of_gidx.append(seq)
@@ -1268,6 +1332,9 @@ class ContourDB:
             lambda a, cur: jnp.zeros((cap,) + a.shape[1:], cur.dtype)
             .at[:n].set(a.astype(cur.dtype)),
             host_store, current)
+        # the search-layout copy is derived, not persisted (checkpoints stay
+        # format-compatible); one transpose at load time
+        db.keys_q = _keys_to_q_layout(db.store.keys)
         ts_full = np.concatenate([np.asarray(z["ts_store"]) for z in zs])
         db.ts_store = jnp.zeros((cap,), jnp.float32).at[:n].set(ts_full)
         db.state = jnp.asarray(zs[-1]["state"], jnp.int32)
@@ -1325,6 +1392,7 @@ class ContourDB:
         out.store = jax.tree.map(
             lambda z, *xs: z.at[:n_total].set(jnp.concatenate(xs, axis=0)),
             out.store, *parts)
+        out.keys_q = _keys_to_q_layout(out.store.keys)
         out.ts_store = out.ts_store.at[:n_total].set(
             jnp.arange(n_total, dtype=jnp.float32))
         out.state = jnp.asarray([n_total, n_total], jnp.int32)
@@ -1355,9 +1423,9 @@ class ContourDB:
             self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
                                         jnp.float32)
         row0 = self.n
-        (self.store, self.ts_store, self.state, self.recs_store,
-         recs) = _process_block(self.store, self.ts_store, self.state,
-                                self.recs_store, descs,
+        (self.store, self.keys_q, self.ts_store, self.state, self.recs_store,
+         recs) = _process_block(self.store, self.keys_q, self.ts_store,
+                                self.state, self.recs_store, descs,
                                 jnp.asarray(ts_b, jnp.float32), self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += B
@@ -1381,9 +1449,9 @@ class ContourDB:
             self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
                                         jnp.float32)
         row0 = self.n
-        (self.store, self.ts_store, self.state, self.recs_store,
-         recs) = _step_chain(self.store, self.ts_store, self.state,
-                             self.recs_store, points_k,
+        (self.store, self.keys_q, self.ts_store, self.state, self.recs_store,
+         recs) = _step_chain(self.store, self.keys_q, self.ts_store,
+                             self.state, self.recs_store, points_k,
                              jnp.asarray(ts_k, jnp.float32), self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += K
@@ -1406,9 +1474,9 @@ class ContourDB:
             self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
                                         jnp.float32)
         row0 = self.n
-        (self.store, self.ts_store, self.state, self.recs_store,
-         recs) = _block_chain(self.store, self.ts_store, self.state,
-                              self.recs_store, descs_nb,
+        (self.store, self.keys_q, self.ts_store, self.state, self.recs_store,
+         recs) = _block_chain(self.store, self.keys_q, self.ts_store,
+                              self.state, self.recs_store, descs_nb,
                               jnp.asarray(ts_nb, jnp.float32), self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += nb * b
@@ -1434,7 +1502,8 @@ class ContourDB:
             return None
         B = int(points_b.shape[0])
         if chunk is None or B <= chunk:
-            recs = _localize_block(self.store, self.state, points_b, self.cfg)
+            recs = _localize_block(self.store, self.state, points_b, self.cfg,
+                                   self.keys_q)
         else:
             pad = (-B) % chunk
             if pad:
@@ -1444,7 +1513,7 @@ class ContourDB:
                               points_b.dtype)])
             recs = jnp.concatenate([
                 _localize_block(self.store, self.state, points_b[i:i + chunk],
-                                self.cfg)
+                                self.cfg, self.keys_q)
                 for i in range(0, B + pad, chunk)])[:B]
         return BlockHandle(recs, self, counters="serving_counters")
 
@@ -1457,7 +1526,8 @@ class ContourDB:
         drain_handles() to amortize link latency."""
         if self.store is None:
             return None
-        rec = _query_step(self.store, query, self.state, self.cfg)
+        rec = _query_step(self.store, query, self.state, self.cfg,
+                          self.keys_q)
         return QueryHandle(rec, self)
 
     def query_ranged_knn(self, query: ScanDesc, profiler=None):
@@ -1490,7 +1560,7 @@ class ContourDB:
         packed = np.asarray(_device_fetch(_range_search(
             self.store.keys, query.keys, self.state[1],
             jnp.float32(max_dist_sq), tuple(self.cfg.db.q_levels), int(cap),
-            self.cfg.db.topk_strategy)))
+            self.cfg.db.topk_strategy, keys_q=self.keys_q)))
         n_total = (int(packed[0, 0]) << 20) + int(packed[0, 1])
         hits = [(int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
                 for r in packed[1:] if r[4] >= 0.0]

@@ -37,7 +37,7 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
                                     "topk_strategy"))
 def sharded_search(db_keys, q_keys, searchable_n,
                    q_levels: Tuple[int, ...], nnk: int, mesh: Mesh,
-                   topk_strategy: str = "block"):
+                   topk_strategy: str = "cover"):
     """Row-sharded brute-force top-k key search.
 
     db_keys  (N, L, A, 10) sharded on N over mesh axis "data";
@@ -62,22 +62,23 @@ def sharded_search(db_keys, q_keys, searchable_n,
             sel = jax.lax.slice_in_dim(db_rows, lo, lo + nq, axis=1)
         else:
             sel = db_rows[:, lv]
-        rows = sel.transpose(1, 0, 2, 3).reshape(nq, N_loc * A, -1)
+        D = db_rows.shape[3]
+        kt = sel.transpose(1, 3, 0, 2).reshape(nq, D, N_loc * A)
         qk = q[lv]
-        row_valid = jnp.abs(rows).sum(-1) > 0
+        row_valid = jnp.abs(kt.astype(jnp.float32)).sum(1) > 0
         scan_of_row = base + jnp.repeat(jnp.arange(N_loc, dtype=jnp.int32), A)[None]
         ok = row_valid & (scan_of_row < n_searchable)
-        # same MXU-shaped distance as db._key_distances (incl. the bf16-keys
-        # path: f32 accumulation, in-register upcast of the norm reductions)
+        # BITWISE-same distance as db._key_distances (lane-major direct
+        # squared difference — see its docstring for why not a matmul), so
+        # sharded-vs-single hit sets agree even on near-ties; bf16 keys
+        # upcast in-register inside the fused accumulation
         f32 = jnp.float32
-        prec = (jax.lax.Precision.HIGHEST if rows.dtype == f32
-                else jax.lax.Precision.DEFAULT)
         qk_f = qk.astype(f32)
-        cross = jnp.einsum("qad,qnd->qan", qk, rows, precision=prec,
-                           preferred_element_type=f32)
-        d2 = (jnp.sum(qk_f * qk_f, axis=-1)[:, :, None]
-              + jnp.sum(rows.astype(f32) ** 2, axis=-1)[:, None, :] - 2.0 * cross)
-        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.zeros((nq, A, N_loc * A), f32)
+        for d in range(D):
+            diff = (kt[:, d, :][:, None, :].astype(f32)
+                    - qk_f[:, :, d][:, :, None])
+            d2 = d2 + diff * diff
         d2 = jnp.where(ok[:, None, :], d2, MAX_DIST_SQ)
         # two-stage exact min-k (db._topk_min) for big shards: avoids the
         # sort-based full-width TopK that dominates at city scale

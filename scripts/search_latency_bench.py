@@ -77,7 +77,10 @@ def main():
     _ = jax.device_get(jnp.zeros(4) + 1)
     print(f"mode switch paid ({time.time() - t0:.0f} s)", flush=True)
 
-    db_keys = jax.device_put(jnp.asarray(kb))
+    db_keys = jax.device_put(jnp.asarray(kb))          # scan-major (pallas)
+    # the production store: the maintained (L, D, N*A) search layout
+    kq = jax.device_put(jnp.asarray(np.ascontiguousarray(
+        kb.transpose(1, 3, 0, 2).reshape(L, D, N * A))))
     q = jnp.asarray(qk, jnp.float32)
     sn = jnp.int32(N)
 
@@ -109,10 +112,10 @@ def main():
             c, _ = jax.lax.scan(body, qq, None, length=n_iter)
             return c[0, 0, 0]
 
-        r = chained_full(q, db_keys, K)
+        r = chained_full(q, kq, K)
         jax.device_get(r)
         t0 = time.perf_counter()
-        r = chained_full(q, db_keys, K)
+        r = chained_full(q, kq, K)
         jax.block_until_ready(r)
         t_bur = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -143,7 +146,7 @@ def main():
                 return c * (1.0 + 1e-30 * d2m.min()), None
             c, _ = jax.lax.scan(body, qq, None, length=n_iter)
             return c[0, 0, 0]
-        per_op("dist-only[f32]", chained_dist, q, db_keys)
+        per_op("dist-only[f32]", chained_dist, q, kq)
 
     if "search" in variants or "searchbf16" in variants:
         @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -154,10 +157,10 @@ def main():
             c, _ = jax.lax.scan(body, qq, None, length=n_iter)
             return c[0, 0, 0]
         if "search" in variants:
-            per_op("search[f32 block]", chained_search, q, db_keys)
+            per_op("search[f32 block]", chained_search, q, kq)
         if "searchbf16" in variants:
             per_op("search[bf16 block]", chained_search, q,
-                   db_keys.astype(jnp.bfloat16))
+                   kq.astype(jnp.bfloat16))
 
     if "searchcover" in variants:
         @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -168,23 +171,98 @@ def main():
                 return c * (1.0 + 1e-30 * d.min()), None
             c, _ = jax.lax.scan(body, qq, None, length=n_iter)
             return c[0, 0, 0]
-        per_op("search[f32 cover]", chained_search_cover, q, db_keys)
+        per_op("search[f32 cover]", chained_search_cover, q, kq)
 
-    if "searchfresh" in variants:
-        @functools.partial(jax.jit, static_argnames=("n_iter",))
-        def chained_search_fresh(qq, keys, n_iter):
+    if "searchfresh" in variants or "searchfreshcover" in variants:
+        @functools.partial(jax.jit, static_argnames=("n_iter", "strategy"))
+        def chained_search_fresh(qq, keys, n_iter, strategy="block"):
             def body(carry, _):
                 c, ks = carry
-                g, s, d, v = _search_impl(ks, c, sn, QL, args.nnk)
+                g, s, d, v = _search_impl(ks, c, sn, QL, args.nnk,
+                                          strategy=strategy)
                 one = (1.0 + 1e-30 * d.min()).astype(ks.dtype)
                 # single-element in-place scatter: loop-carries ks without
                 # rewriting the store (a full ks*one would add 2x188 MB of
                 # confounding traffic per iteration)
                 return (c * one.astype(jnp.float32),
-                        ks.at[0, 0, 0, 0].multiply(one)), None
+                        ks.at[0, 0, 0].multiply(one)), None
             (c, _ks), _ = jax.lax.scan(body, (qq, keys), None, length=n_iter)
             return c[0, 0, 0]
-        per_op("search[f32 fresh-keys]", chained_search_fresh, q, db_keys)
+        if "searchfresh" in variants:
+            per_op("search[f32 fresh-keys]", chained_search_fresh, q, kq)
+        if "searchfreshcover" in variants:
+            def fresh_cover(qq, keys, n_iter):
+                return chained_search_fresh(qq, keys, n_iter, "cover")
+            per_op("search[f32 fresh-keys cover]", fresh_cover, q, kq)
+
+    if ("transp" in variants or "distkt" in variants
+            or "searchkt" in variants):
+        # isolate the production layout question: `transp` is the
+        # (N,L,A,D)->(Q,D,N*A) transpose alone (loop-carried, so it cannot
+        # hoist); `distkt`/`searchkt` start from a PRE-transposed key store
+        # — the cost the DB would pay per query if it maintained the
+        # search-layout copy incrementally at append time.
+        QLa = jnp.array(QL, jnp.int32)
+        kt_host = np.ascontiguousarray(
+            kb[:, list(QL)].transpose(1, 3, 0, 2).reshape(
+                len(QL), D, N * A))
+        kt_dev = jax.device_put(jnp.asarray(kt_host))
+        qsel = q[QLa]                                       # (Q, A, D)
+        nq = len(QL)
+
+        def dist_from_kt(ks, qf):
+            d2 = jnp.zeros((nq, A, N * A), jnp.float32)
+            for d in range(D):
+                diff = (ks[:, d, :][:, None, :].astype(jnp.float32)
+                        - qf[:, :, d][:, :, None])
+                d2 = d2 + diff * diff
+            row_valid = jnp.abs(ks.astype(jnp.float32)).sum(1) > 0
+            scan_of_row = jnp.repeat(
+                jnp.arange(N, dtype=jnp.int32), A)[None]
+            ok = (row_valid & (scan_of_row < sn))[:, None, :]
+            return jnp.where(ok, d2, 1e6)
+
+        if "transp" in variants:
+            @functools.partial(jax.jit, static_argnames=("n_iter",))
+            def chained_transp(keys, n_iter):
+                def body(ks, _):
+                    kt = ks[:, QLa].transpose(1, 3, 0, 2).reshape(
+                        len(QL), D, N * A)
+                    one = 1.0 + 1e-30 * kt[0, 0, 0]
+                    return ks.at[0, 0, 0].multiply(one), None
+                ks, _ = jax.lax.scan(body, keys, None, length=n_iter)
+                return ks[0, 0, 0, 0]
+            per_op("transpose-only[f32]", chained_transp, db_keys)
+
+        if "distkt" in variants:
+            @functools.partial(jax.jit, static_argnames=("n_iter",))
+            def chained_distkt(qf, ks, n_iter):
+                def body(c, _):
+                    d2m = dist_from_kt(ks, c)
+                    return c * (1.0 + 1e-30 * d2m.min()), None
+                c, _ = jax.lax.scan(body, qf, None, length=n_iter)
+                return c[0, 0, 0]
+            per_op("dist-kt[f32 pre-transposed]", chained_distkt, qsel,
+                   kt_dev)
+
+        if "searchkt" in variants:
+            from contour_context_tpu.db import _topk_min
+
+            @functools.partial(jax.jit, static_argnames=("n_iter", "strategy"))
+            def chained_searchkt(qf, ks, n_iter, strategy="cover"):
+                def body(c, _):
+                    d2m = dist_from_kt(ks, c)
+                    dist, idx = _topk_min(d2m, args.nnk, strategy)
+                    return c * (1.0 + 1e-30 * dist.min()), None
+                c, _ = jax.lax.scan(body, qf, None, length=n_iter)
+                return c[0, 0, 0]
+            per_op("search-kt[f32 cover pre-transposed]", chained_searchkt,
+                   qsel, kt_dev)
+
+            def skt_block(qf, ks, n_iter):
+                return chained_searchkt(qf, ks, n_iter, "block")
+            per_op("search-kt[f32 block pre-transposed]", skt_block,
+                   qsel, kt_dev)
 
     if "pallas" in variants:
         from contour_context_tpu.ops.pallas_kernels import (

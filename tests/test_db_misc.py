@@ -94,8 +94,35 @@ def test_db_grow():
     assert r is not None and db.seq_of_gidx[r[0]] == 1, r
 
 
-@pytest.mark.slow
-def test_db_grow_fused_step():
+def _assert_keys_q_invariant(db):
+    """The maintained search-layout copy must stay BIT-identical to the
+    layout derived from the scan-major store (db._keys_to_q_layout) — the
+    invariant every search path relies on."""
+    from contour_context_tpu.db import _keys_to_q_layout
+
+    got = np.asarray(db.keys_q)
+    want = np.asarray(_keys_to_q_layout(db.store.keys))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_keys_q_maintained_through_stream_grow_checkpoint_merge(tmp_path):
+    """keys_q (the incrementally-maintained (L, D, cap*A) search layout)
+    stays bit-identical to the derived layout across every mutation path:
+    per-scan appends, capacity growth, checkpoint round-trip, and merge."""
+    world, descs = _descs(6)
+    db = ContourDB(CFG, capacity=4)
+    for i, d in enumerate(descs):
+        db.add_scan(d, i, 6.0 * i)          # add_scan path + grow at i=4
+        db.push_and_balance(6.0 * i)
+    _assert_keys_q_invariant(db)
+
+    p = str(tmp_path / "kq.npz")
+    db.save(p)
+    db2 = ContourDB.load(p, CFG)            # load derives keys_q
+    _assert_keys_q_invariant(db2)
+
+    merged = ContourDB.merge([db, db2])     # merge derives keys_q
+    _assert_keys_q_invariant(merged)
     """Capacity growth mid-stream through the fused one-dispatch step."""
     world = make_world(11, n_structs=220, extent=160.0)
     db = ContourDB(CFG, capacity=4)

@@ -54,7 +54,7 @@ def test_search_tilemin_pallas_matches_search_impl():
     import jax
     import jax.numpy as jnp
 
-    from contour_context_tpu.db import _search_impl
+    from contour_context_tpu.db import _keys_to_q_layout, _search_impl
     from contour_context_tpu.ops.pallas_kernels import search_tilemin_pallas
 
     rng = np.random.default_rng(4)
@@ -69,7 +69,7 @@ def test_search_tilemin_pallas_matches_search_impl():
     sn = jnp.int32(1800)
 
     g0, s0, d0, v0 = [np.asarray(x) for x in _search_impl(
-        jnp.asarray(kb), jnp.asarray(qk), sn, QL, NNK)]
+        _keys_to_q_layout(jnp.asarray(kb)), jnp.asarray(qk), sn, QL, NNK)]
     g1, s1, d1, v1 = [np.asarray(x) for x in search_tilemin_pallas(
         jnp.asarray(kb), jnp.asarray(qk), sn, QL, NNK, interpret=True,
         T=64, TC=1024)]
