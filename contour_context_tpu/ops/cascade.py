@@ -154,18 +154,29 @@ def run_cascade(
     p_tgt_slot = jnp.broadcast_to(jnp.arange(M)[None, :, None], (H, M, M)).reshape(H, M * M)
 
     pot_overflow = jnp.sum(close.reshape(H, -1), axis=1) > P_POT
-    order = jnp.argsort(orie, axis=1)[:, :P_POT]
-    sv = jnp.take_along_axis(orie, order, axis=1)             # (H, P_POT) ascending
-    s_src = jnp.take_along_axis(p_src_slot, order, axis=1)
-    s_tgt = jnp.take_along_axis(p_tgt_slot, order, axis=1)
+    # ONE 3-operand stable sort instead of argsort + three take_along_axis
+    # gathers: per-row gathers of (H, M*M) lower to serialized TPU gathers
+    # (~2.7 ms each at H=512, profiled 2026-08-18); lax.sort co-sorts the
+    # slot ids in the same bitonic passes for free. Stable = ties keep the
+    # flattened insertion order, exactly like the stable argsort before.
+    sv, s_src, s_tgt = jax.lax.sort(
+        (orie, p_src_slot, p_tgt_slot), dimension=1, num_keys=1,
+        is_stable=True)
+    sv, s_src, s_tgt = sv[:, :P_POT], s_src[:, :P_POT], s_tgt[:, :P_POT]
     n_pot = jnp.sum(jnp.isfinite(sv), axis=1).astype(jnp.int32)
 
     # circular window of width ANG_RANGE: per start i,
-    #   count = ss(v, v_i + rng, right) - i + ss(v, v_i + rng - 2pi, right)
+    #   count = #(v <= v_i + rng) - i + #(v <= v_i + rng - 2pi)
+    # searchsorted(sorted, q, "right") == sum(v <= q) element-exactly (incl.
+    # the all-inf masked tail: inf <= inf is True both ways). The broadcast
+    # compare-and-sum is one fused VPU reduction; jnp.searchsorted's default
+    # binary-search scan lowered to 2 whiles over (H, P_POT) carries with 10
+    # S(1) round-trips each — 54 ms/step of the r2 profile, the single
+    # largest cost in the whole pipeline.
     def window_counts(vals, n):
         hi = vals + ANG_RANGE
-        c_main = jnp.searchsorted(vals, hi, side="right")
-        c_wrap = jnp.searchsorted(vals, hi - 2 * math.pi, side="right")
+        c_main = jnp.sum(vals[None, :] <= hi[:, None], axis=1)
+        c_wrap = jnp.sum(vals[None, :] <= (hi - 2 * math.pi)[:, None], axis=1)
         idx = jnp.arange(vals.shape[0])
         cnt = jnp.minimum(c_main, n) - idx + jnp.minimum(c_wrap, n)
         return jnp.where(idx < n, cnt, 0)
@@ -208,17 +219,33 @@ def run_cascade(
     # ---- check 3: individual similarity over the constellation ----------
     J = src_tab["cnt"].shape[2]
 
-    def gather_tab(tab, lev, seq):
-        # lev in {1..4} -> row lev-1 ; out-of-range guarded by validity
-        li = jnp.clip(lev - 1, 0, tab["cnt"].shape[1] - 1)
-        sj = jnp.clip(seq, 0, J - 1)
-        out = {}
-        for k, v in tab.items():
-            out[k] = v[jnp.arange(H)[:, None], li, sj]
-        return out
+    def pack_tab(tab):
+        # 12 f32 channels in ONE array so the per-pair lookup is ONE gather
+        # instead of nine (each (H, P)-from-(H, 4, J) gather lowered to a
+        # ~0.4 ms serialized TPU gather, profiled 2026-08-18); bools ride as
+        # 0/1 floats and convert back exactly
+        return jnp.stack([
+            tab["cnt"], tab["eig"][..., 0], tab["eig"][..., 1], tab["h"],
+            tab["comr"], tab["mean"][..., 0], tab["mean"][..., 1],
+            tab["vec1"][..., 0], tab["vec1"][..., 1],
+            tab["ecc"].astype(jnp.float32), tab["perc"],
+            tab["ok"].astype(jnp.float32)], axis=-1)     # (H, 4, J, 12)
 
-    s = gather_tab(src_tab, pair_level, pair_seq_src)
-    t = gather_tab(tgt_tab, pair_level, pair_seq_tgt)
+    def gather_tab(packed, lev, seq):
+        # lev in {1..4} -> row lev-1 ; out-of-range guarded by validity
+        li = jnp.clip(lev - 1, 0, packed.shape[1] - 1)
+        sj = jnp.clip(seq, 0, J - 1)
+        g = packed[jnp.arange(H)[:, None], li, sj]       # (H, P, 12)
+        return dict(
+            cnt=g[..., 0],
+            eig=jnp.stack([g[..., 1], g[..., 2]], axis=-1),
+            h=g[..., 3], comr=g[..., 4],
+            mean=jnp.stack([g[..., 5], g[..., 6]], axis=-1),
+            vec1=jnp.stack([g[..., 7], g[..., 8]], axis=-1),
+            ecc=g[..., 9] > 0.5, perc=g[..., 10], ok=g[..., 11] > 0.5)
+
+    s = gather_tab(pack_tab(src_tab), pair_level, pair_seq_src)
+    t = gather_tab(pack_tab(tgt_tab), pair_level, pair_seq_tgt)
     indiv = check_sim_batched(s["cnt"], s["eig"], s["h"], s["comr"],
                               t["cnt"], t["eig"], t["h"], t["comr"], cont_sim)
     cstl1 = pair_valid0 & indiv & s["ok"] & t["ok"]

@@ -88,25 +88,45 @@ def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
     """masks (L, nr, nc) bool -> labels (L, nr*nc) int32.
 
     8-connected components labeled by the component's minimum linear pixel
-    index; background = S (= nr*nc). Min-label propagation over a 3x3 window
-    with two pointer-jumping steps per iteration; lax.while_loop to fixpoint.
+    index; background = S (= nr*nc). Each fixpoint iteration propagates the
+    running min label by a 3x3 window min (the 8-connectivity hop) and then
+    flushes it along ENTIRE foreground runs of every row and column with
+    segmented min-scans (lax.associative_scan, log2(n) shift-mins) —
+    straight corridors collapse in one pass instead of one pixel per pass.
+    The earlier pointer-jumping step (label <- label[label]) did the
+    long-range collapse with take_along_axis gathers, which lower to ~1 ms
+    serialized TPU gathers EACH (profiled 2026-08-18, 2 jumps/iteration =
+    the bulk of ~7.4 ms/scan); the scans are pure VPU shifts. Fixpoint
+    (lax.while_loop) makes the label invariant independent of iteration
+    count, so the replacement cannot change results, only speed.
     """
     L, nr, nc = masks.shape
     S = nr * nc
     lin = jnp.arange(S, dtype=jnp.int32).reshape(nr, nc)
     labels0 = jnp.where(masks, lin[None], S)
+    brk = ~masks                     # background breaks every run
+
+    def comb(a, b):
+        # segmented min: a right-segment start blocks propagation from left
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    def run_min(lab, axis):
+        fv, _ = lax.associative_scan(comb, (lab, brk), axis=axis)
+        rv, _ = lax.associative_scan(comb, (lab, brk), axis=axis,
+                                     reverse=True)
+        return jnp.minimum(fv, rv)
 
     def body(state):
         lab, _ = state
         neigh = lax.reduce_window(
             lab, jnp.int32(S), lax.min,
-            window_dimensions=(1, 3, 3), window_strides=(1, 1, 1), padding="SAME")
+            window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+            padding="SAME")
         new = jnp.where(masks, jnp.minimum(lab, neigh), S)
-        flat = new.reshape(L, S)
-        for _ in range(2):  # pointer jumping: label <- label[label]
-            ext = jnp.concatenate([flat, jnp.full((L, 1), S, jnp.int32)], axis=1)
-            flat = jnp.take_along_axis(ext, flat, axis=1)
-        new = flat.reshape(L, nr, nc)
+        new = jnp.where(masks, run_min(new, 2), S)
+        new = jnp.where(masks, run_min(new, 1), S)
         return new, jnp.any(new != lab)
 
     def cond(state):
@@ -163,47 +183,42 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
     top_idx = order_k.astype(jnp.int32)
     rep = jnp.where(sel_valid, top_idx, S)             # label value of the slot
 
-    # first-pass sums
-    def level_sums(lab, m):
-        return (
-            seg_sum(jnp.where(m, rowf, 0.0), lab),
-            seg_sum(jnp.where(m, colf, 0.0), lab),
-            seg_sum(jnp.where(m, bev, 0.0), lab),
-            seg_sum(jnp.where(m, bev * rowf, 0.0), lab),
-            seg_sum(jnp.where(m, bev * colf, 0.0), lab),
-        )
-
-    s_r, s_c, s_h, s_hr, s_hc = jax.vmap(level_sums)(labels, masks_flat)
-
-    cntf_safe = jnp.maximum(cnt_f, 1.0)
-    mean_r_full = s_r / cntf_safe
-    mean_c_full = s_c / cntf_safe
-
-    # second pass: centered second moments (stable covariance); mean_*_full
-    # are already size S+1 so labels index them directly
-    def level_c2(lab, m, mr, mc):
-        dr = jnp.where(m, rowf - mr[lab], 0.0)
-        dc = jnp.where(m, colf - mc[lab], 0.0)
-        return (seg_sum(dr * dr, lab), seg_sum(dr * dc, lab), seg_sum(dc * dc, lab))
-
-    c_rr, c_rc, c_cc = jax.vmap(level_c2)(labels, masks_flat,
-                                          mean_r_full, mean_c_full)
+    # Moments for the SELECTED top-K components only, as dense masked
+    # reductions over the (L, K, S) membership mask. The previous form —
+    # nine full-table segment-sum scatters (jnp .at[].add over 6x22501
+    # bins) — cost ~1.2 ms EACH on the TPU (scatters serialize; profiled
+    # 2026-08-18, ~10.6 ms/scan total); only the count table needs full
+    # width (validity chain + top-K selection), so it keeps the one scatter
+    # and everything else becomes matmul/VPU-shaped dense math over the at
+    # most K components that survive selection.
+    sel = labels[:, None, :] == jnp.minimum(rep, S - 1)[:, :, None]
+    sel &= (rep[:, :, None] < S)                       # (L, K, S) membership
+    selF = sel.astype(jnp.float32)
+    ch1 = jnp.stack([rowf, colf, bev, bev * rowf, bev * colf])   # (5, S)
+    sums = jnp.einsum("lks,cs->lkc", selF, ch1,
+                      precision=jax.lax.Precision.HIGHEST)       # (L, K, 5)
+    s_r, s_c, s_h, s_hr, s_hc = [sums[..., i] for i in range(5)]
 
     def gather(a):  # (L, S+1) -> (L, K)
         return jnp.take_along_axis(a, jnp.minimum(rep, S), axis=1)
 
     g_cnt = jnp.where(sel_valid, gather(cnt), 0)
     g_n = jnp.maximum(g_cnt, 1).astype(jnp.float32)
-    g_mean = jnp.stack([gather(mean_r_full), gather(mean_c_full)], axis=-1)
-    g_vol3 = gather(s_h)
-    g_com = jnp.stack([gather(s_hr), gather(s_hc)], axis=-1) / \
+    mean_r = s_r / g_n
+    mean_c = s_c / g_n
+    g_mean = jnp.stack([mean_r, mean_c], axis=-1)
+    g_vol3 = s_h
+    g_com = jnp.stack([s_hr, s_hc], axis=-1) / \
         jnp.maximum(g_vol3, 1e-12)[..., None]
     g_vol3_mean = g_vol3 / g_n
 
+    # second pass: centered second moments (stable covariance)
+    dr = jnp.where(sel, rowf[None, None, :] - mean_r[:, :, None], 0.0)
+    dc = jnp.where(sel, colf[None, None, :] - mean_c[:, :, None], 0.0)
     nm1 = jnp.maximum(g_n - 1.0, 1.0)
-    a = gather(c_rr) / nm1
-    b = gather(c_rc) / nm1
-    c = gather(c_cc) / nm1
+    a = jnp.sum(dr * dr, axis=-1) / nm1
+    b = jnp.sum(dr * dc, axis=-1) / nm1
+    c = jnp.sum(dc * dc, axis=-1) / nm1
 
     # closed-form symmetric 2x2 eigendecomposition (ascending)
     m = 0.5 * (a + c)
