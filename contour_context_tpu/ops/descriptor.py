@@ -65,19 +65,51 @@ def rasterize_bev(points: jnp.ndarray, cfg: ContourManagerConfig):
     ok &= row > 0  # reference quirk: row 0 dropped (contour_mng.h:515)
     pid = jnp.where(ok, row * nc + col, S).astype(jnp.int32)
     h = z + cfg.lidar_height
-
-    bev = jnp.full(S + 1, -VAL_ABS_INF, jnp.float32).at[pid].max(
-        jnp.where(ok, h, -VAL_ABS_INF))
-    # winner = min point index among points matching the pixel max (first wins)
     P = points.shape[0]
-    is_max = ok & (h >= bev[pid])
-    win = jnp.full(S + 1, P, jnp.int32).at[pid].min(
-        jnp.where(is_max, jnp.arange(P, dtype=jnp.int32), P))
-    has = win[:S] < P
-    wid = jnp.minimum(win[:S], P - 1)
-    rowf = jnp.where(has, x[wid] / cfg.reso_row + nr / 2 - 0.5, -1.0)
-    colf = jnp.where(has, y[wid] / cfg.reso_col + nc / 2 - 0.5, -1.0)
-    return bev[:S], rowf.astype(jnp.float32), colf.astype(jnp.float32)
+
+    # Sort-based reduction instead of scatter-max + gather + scatter-min:
+    # on this TPU a 3-key lax.sort of 131k elements costs 0.14 ms while ONE
+    # 131k scatter or gather costs ~1.1 ms (scripts/desc_latency_bench.py,
+    # 2026-08-18) — the scatter formulation paid that tax three times.
+    #
+    # Pass 1: sort points together with one SENTINEL row per pixel by
+    # (pid, -h, point index). The sentinel's -h = -inf puts it FIRST in its
+    # pixel's run; the element immediately after it (if any, same pid) is the
+    # pixel's winner — max h, ties broken by min point index, exactly the
+    # reference's strict `<` update rule (contour_mng.h:505-556). x/y ride
+    # as payload so no gather is needed for the argmax position.
+    sent_pid = jnp.arange(S, dtype=jnp.int32)
+    a_pid = jnp.concatenate([pid, sent_pid])
+    a_negh = jnp.concatenate([
+        jnp.where(ok, -h, jnp.inf).astype(jnp.float32),
+        jnp.full((S,), -jnp.inf, jnp.float32)])
+    a_idx = jnp.concatenate([jnp.arange(P, dtype=jnp.int32),
+                             jnp.full((S,), P, jnp.int32)])
+    a_x = jnp.concatenate([x, jnp.zeros((S,), x.dtype)]).astype(jnp.float32)
+    a_y = jnp.concatenate([y, jnp.zeros((S,), y.dtype)]).astype(jnp.float32)
+    sp, sn, si, sx, sy = jax.lax.sort((a_pid, a_negh, a_idx, a_x, a_y),
+                                      num_keys=3)
+    # winner = the element right after each sentinel (sentinels are unique
+    # per pid, so a same-pid successor is always a real point)
+    nxt_same = jnp.concatenate([sp[1:] == sp[:-1],
+                                jnp.zeros((1,), bool)])
+    hn = jnp.concatenate([-sn[1:], jnp.full((1,), -jnp.inf, jnp.float32)])
+    xn = jnp.concatenate([sx[1:], jnp.zeros((1,), jnp.float32)])
+    yn = jnp.concatenate([sy[1:], jnp.zeros((1,), jnp.float32)])
+    hasw = nxt_same & jnp.isfinite(hn)
+    val_h = jnp.where(hasw, hn, -VAL_ABS_INF)
+    # Pass 2: float the sentinels (now carrying their pixel's winner) to the
+    # front in pid order — the first S rows ARE the dense BEV image, no
+    # scatter needed.
+    sent_last = jnp.where(si == P, jnp.int32(0), jnp.int32(1))
+    _, _, d_h, d_x, d_y, d_has = jax.lax.sort(
+        (sent_last, sp, val_h, xn, yn, hasw.astype(jnp.float32)),
+        num_keys=2)
+    bev = d_h[:S]
+    has = d_has[:S] > 0.5
+    rowf = jnp.where(has, d_x[:S] / cfg.reso_row + nr / 2 - 0.5, -1.0)
+    colf = jnp.where(has, d_y[:S] / cfg.reso_col + nc / 2 - 0.5, -1.0)
+    return bev, rowf.astype(jnp.float32), colf.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -151,35 +183,47 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
     K = cfg.max_contours
     sc = cfg.view_stat
 
-    def seg_sum(vals, lab):
-        return jnp.zeros(S + 1, jnp.float32).at[lab].add(vals)
+    # Per-PIXEL component sizes via sort + run-length + unsort instead of a
+    # full-width segment-sum scatter (1.27 ms/scan on the v5e) followed by a
+    # per-level chain of label-indexed gathers (~0.2 ms each): sorts of this
+    # size cost ~0.05 ms (scripts/desc_latency_bench.py, 2026-08-18). A
+    # component's label is its min pixel index, so sorting each level's
+    # labels groups components into runs; the run length IS the cell count.
+    iota_s = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (L, S))
+    sl, pos = jax.lax.sort((labels, iota_s), dimension=1, num_keys=1)
+    rs = jnp.concatenate([jnp.ones((L, 1), bool), sl[:, 1:] != sl[:, :-1]],
+                         axis=1)                       # run starts
+    spos = lax.associative_scan(
+        jnp.maximum, jnp.where(rs, iota_s, -1), axis=1)  # my run's start
+    ns = lax.associative_scan(
+        jnp.minimum, jnp.where(rs, iota_s, S), axis=1, reverse=True)
+    next_start = jnp.concatenate([ns[:, 1:],
+                                  jnp.full((L, 1), S, jnp.int32)], axis=1)
+    cnt_sorted = next_start - spos
+    _, cnt_pix = jax.lax.sort((pos, cnt_sorted), dimension=1, num_keys=1)
+    cnt_pix = jnp.where(masks_flat, cnt_pix, 0)        # (L, S)
 
-    cnt_f = jax.vmap(lambda lab, m: seg_sum(m.astype(jnp.float32), lab))(labels, masks_flat)
-    cnt = cnt_f.astype(jnp.int32)                      # (L, S+1)
+    # Validity chain across levels, per pixel: lv_grads ascend so the masks
+    # nest, and a level-l component lies inside exactly one level-(l-1)
+    # component — the one containing any of its pixels. valid iff every
+    # ancestor (including itself) meets the min cell count
+    # (contour_mng.cpp:304's recursion cut-off).
+    min_ok_pix = cnt_pix >= cfg.min_cont_cell_cnt      # (L, S)
+    valid_pix = lax.associative_scan(jnp.logical_and, min_ok_pix, axis=0)
 
-    # validity chain across levels
-    valid_full = []
-    min_ok = cnt >= cfg.min_cont_cell_cnt
-    for ll in range(L):
-        if ll == 0:
-            valid_full.append(min_ok[0])
-        else:
-            parent_ext = jnp.concatenate([labels[ll - 1], jnp.array([S], jnp.int32)])
-            prev_ext = jnp.concatenate([valid_full[-1], jnp.array([False])])
-            # label value v is a pixel index; its parent component = labels[l-1][v]
-            valid_full.append(min_ok[ll] & prev_ext[parent_ext])
-    valid_full = jnp.stack(valid_full)                 # (L, S+1)
-
-    layer_cell_cnt = jnp.sum(jnp.where(valid_full, cnt, 0), axis=1)  # (L,)
-    n_cont = jnp.sum(valid_full, axis=1).astype(jnp.int32)
+    rep_pix = labels == iota_s                          # component min pixel
+    valid_rep = rep_pix & valid_pix
+    layer_cell_cnt = jnp.sum(valid_pix, axis=1).astype(jnp.int32)
+    n_cont = jnp.sum(valid_rep, axis=1).astype(jnp.int32)
+    cnt = cnt_pix                                       # (L, S) by pixel/bin
 
     # top-K by (cell count desc, min pixel asc): a stable argsort on -cnt
     # keeps ascending pixel order within equal counts (the array index IS the
     # pixel), exact for any grid size (a packed int32 composite overflows past
     # ~181x181 grids); invalid slots sort last via key 1 > -cnt (cnt >= 1)
-    sort_key = jnp.where(valid_full, -cnt, 1)
+    sort_key = jnp.where(valid_rep, -cnt, 1)
     order_k = jnp.argsort(sort_key, axis=1, stable=True)[:, :K]  # (L, K)
-    sel_valid = jnp.take_along_axis(valid_full, order_k, axis=1)
+    sel_valid = jnp.take_along_axis(valid_rep, order_k, axis=1)
     top_idx = order_k.astype(jnp.int32)
     rep = jnp.where(sel_valid, top_idx, S)             # label value of the slot
 
@@ -199,10 +243,8 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
                       precision=jax.lax.Precision.HIGHEST)       # (L, K, 5)
     s_r, s_c, s_h, s_hr, s_hc = [sums[..., i] for i in range(5)]
 
-    def gather(a):  # (L, S+1) -> (L, K)
-        return jnp.take_along_axis(a, jnp.minimum(rep, S), axis=1)
-
-    g_cnt = jnp.where(sel_valid, gather(cnt), 0)
+    g_cnt = jnp.where(sel_valid,
+                      jnp.take_along_axis(cnt, order_k, axis=1), 0)
     g_n = jnp.maximum(g_cnt, 1).astype(jnp.float32)
     mean_r = s_r / g_n
     mean_c = s_c / g_n

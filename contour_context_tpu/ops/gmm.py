@@ -122,19 +122,41 @@ def optimize_correlation(src_batch: GmmScan, tgt: GmmScan, T_init: jnp.ndarray,
     Returns (corr (C,), T_opt (C, 3)).
     """
     grad_fn = jax.grad(gmm_cost)
-    hess_fn = jax.hessian(gmm_cost)
+
+    def _solve3(A, b):
+        """Closed-form 3x3 solve (adjugate/Cramer). jnp.linalg.solve lowers
+        tiny LU factorizations to serialized while-loops on TPU; the LM
+        system is 3x3 and damped PD, so the explicit cofactor form is one
+        fused elementwise kernel instead."""
+        c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+        c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+        c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+        c10 = A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]
+        c11 = A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]
+        c12 = A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]
+        c20 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
+        c21 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
+        c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+        adj = jnp.array([[c00, c10, c20], [c01, c11, c21], [c02, c12, c22]])
+        return adj @ b / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
 
     def one(src, T0, sel_i):
         def cost_f(p):
             return gmm_cost(p, src, tgt, sel_i, scale)
 
+        def gg(p):
+            return grad_fn(p, src, tgt, sel_i, scale)
+
         def step(carry, _):
             p, f, lam = carry
-            g = grad_fn(p, src, tgt, sel_i, scale)
-            Hm = hess_fn(p, src, tgt, sel_i, scale)
+            # grad + Hessian in ONE vmapped forward-over-reverse pass (the
+            # primal of each jvp IS the gradient; tangents are H's rows) —
+            # jax.hessian plus a separate grad call re-ran the reverse pass
+            gs, Hm = jax.vmap(lambda v: jax.jvp(gg, (p,), (v,)))(jnp.eye(3))
+            g = gs[0]
             A = Hm + lam * jnp.eye(3)
-            # solve 3x3 with fallback damping on non-PD
-            dp = jnp.linalg.solve(A + 1e-9 * jnp.eye(3), -g)
+            dp = _solve3(A + 1e-9 * jnp.eye(3), -g)
             p_new = p + dp
             f_new = cost_f(p_new)
             ok = (f_new < f) & jnp.all(jnp.isfinite(p_new))
