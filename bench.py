@@ -136,13 +136,19 @@ def main():
     K_FILL = 132     # warm-up scans, also the big timing chain length
     K_SMALL = 12     # small timing chain length
     N_ENQ = 60       # enqueue-side legacy epoch length
+    REPS = 3         # timing repetitions per chain length
 
-    # capacity: fill (132) + chain compile/reps (4*12 + 3*132) + enqueue
-    # epoch (60) + block16 phase (2 compiles 16+64, 3 reps each of 16+64
-    # = 320) + slack — undercounting triggers a grow, which recompiles
-    # every graph mid-run
-    db = ContourDB(cfg, capacity=K_FILL + 4 * K_SMALL + 3 * K_FILL
-                   + N_ENQ + 320 + 8)
+    # the enqueue-side legacy phase (r1 methodology) must run BEFORE the
+    # first fetch and each of its 60 dispatches inflates the later
+    # mode-switch stall — opt-in only, so it can never delay the headline
+    run_enq = os.environ.get("CONT2_BENCH_ENQUEUE", "0") == "1"
+
+    # capacity: fill (132) + timing reps (3*(12+132)) + enqueue epoch (60,
+    # opt-in) + block16 phase (2 compiles 16+64, 3 reps each of 16+64 = 320)
+    # + slack — undercounting triggers a grow, which recompiles every graph
+    # mid-run
+    db = ContourDB(cfg, capacity=K_FILL + REPS * (K_SMALL + K_FILL)
+                   + (N_ENQ if run_enq else 0) + 320 + 8)
 
     # out-and-back trajectory: steady-state phases retrace the outbound path,
     # so the measured stream includes genuine loop closures (full branch)
@@ -186,24 +192,26 @@ def main():
         from contour_context_tpu.db import _device_fetch
         return _device_fetch(x.ravel()[:1])
 
-    # ---- phase 0: fill via ONE chained dispatch (compiles the K_FILL chain
-    # graph used by the headline's big timing chain) --------------------------
-    log(f"fill: step_chain({K_FILL}) (compiles _step_chain)")
+    # ---- phase 0: fill via ONE chained dispatch. _step_chain_dyn takes the
+    # chain length as a RUNTIME scalar (fori_loop), so this single compile
+    # also serves both headline chain lengths — nothing else needs to
+    # compile before the headline exists. -------------------------------------
+    log(f"fill: step_chain_dyn({K_FILL}) (the ONE pre-headline compile)")
     base = take_ids(K_FILL)
     pts_fill = jax.device_put(clouds)
     ts_fill = jax.device_put(np.arange(base, base + K_FILL, dtype=np.float32))
-    h = db.step_chain_async(pts_fill, list(range(base, base + K_FILL)),
-                            ts_fill)
+    h = db.step_chain_dyn_async(pts_fill, list(range(base, base + K_FILL)),
+                                ts_fill)
     blk_handles.append(h)
     jax.block_until_ready(h.recs)
     log(f"fill done ({compile_counter.count} compiles so far)")
 
-    # ---- phase 1 (pre-switch): legacy enqueue-side fused stream — the r1
-    # headline methodology, kept for comparability. block_until_ready is NOT
-    # a reliable device sync on this tunnel, so this is the HOST'S submission
-    # rate for the one-dispatch-per-scan stream, not device time. ------------
+    # ---- optional pre-switch phase: legacy enqueue-side fused stream — the
+    # r1 headline methodology, kept for comparability (CONT2_BENCH_ENQUEUE=1).
+    # block_until_ready is NOT a reliable device sync on this tunnel, so this
+    # is the HOST'S submission rate for the one-dispatch-per-scan stream. ----
     dt_enq_ms = None
-    if in_budget(60):
+    if run_enq and in_budget(150):
         log("phase fused_stream_enqueue (compiles _scan_step)")
         base = take_ids(N_ENQ)
         staged = [(pts_fill[j % K_FILL], jnp.float32(base + j))
@@ -219,26 +227,15 @@ def main():
         dt_enq_ms = (time.perf_counter() - t0) / (N_ENQ - 1) * 1e3
         log(f"enqueue-side: {dt_enq_ms:.3f} ms/scan (submission rate)")
 
-    # ---- pre-switch staging for post-switch phases (uploads/builds are
-    # cheap while the process is still in pristine mode) ----------------------
-    B_BLK = 16
-    NB_BIG = 4
-    blk_staged = None
-    if in_budget(50):
-        log("staging block16 descriptors (compiles vmapped build)")
-        batch_build = jax.jit(
-            jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
-        descs_nb = jax.vmap(batch_build)(
-            pts_fill[:NB_BIG * B_BLK].reshape((NB_BIG, B_BLK)
-                                              + clouds.shape[1:]))
-        descs_1 = jax.tree.map(lambda a: a[:1], descs_nb)
-        jax.block_until_ready(jax.tree.leaves(descs_nb)[0])
-        blk_staged = (descs_nb, descs_1)
-
-    log("staging query descriptor + serving batch")
-    qdesc = build_descriptor(pts_fill[0], cfg.cm, cfg.gmm)
-    jax.block_until_ready(jax.tree.leaves(qdesc)[0])
-    loc_pts = pts_fill[:B_BLK]
+    # pre-stage the timing chains' ts uploads (uploads are cheap pre-switch,
+    # ~200 ms each post-switch — hoisting them out of the timed region)
+    chain_plan = [K_SMALL] * REPS + [K_FILL] * REPS
+    staged_ts = []
+    for k in chain_plan:
+        base = take_ids(k)
+        staged_ts.append((k, base, jax.device_put(
+            np.arange(base, base + K_FILL, dtype=np.float32))))
+    jax.block_until_ready([t for _, _, t in staged_ts])
 
     # ---- the D2H mode switch: the first fetch permanently degrades the
     # process (every later dispatch ~40 ms host-side) — but every timed
@@ -250,31 +247,21 @@ def main():
     log(f"mode switch paid ({time.perf_counter() - t0:.1f}s)")
 
     # ---- HEADLINE: honest per-scan device time of the fused sequential
-    # stream. chain(K) runs K data-dependent fused steps in one dispatch;
-    # (t_big - t_small)/(K_big - K_small) cancels dispatch + fetch overhead.
-    pts_small = pts_fill[:K_SMALL]      # hoisted: slices are dispatches too
-    chain_pts = {K_SMALL: pts_small, K_FILL: pts_fill}
-
-    def time_chain(k, reps=3):
-        best = None
-        for _ in range(reps):
-            base = take_ids(k)
-            ts_k = jax.device_put(
-                np.arange(base, base + k, dtype=np.float32))
-            t0 = time.perf_counter()
-            h = db.step_chain_async(chain_pts[k],
-                                    list(range(base, base + k)), ts_k)
-            blk_handles.append(h)
-            fetch1(h.recs)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
-
-    log("headline: compiling small chain")
-    time_chain(K_SMALL, reps=1)          # compile (timed value unused)
-    log("headline: timing chains")
-    t_small = time_chain(K_SMALL)
-    t_big = time_chain(K_FILL)
+    # stream. chain(k) runs k data-dependent fused steps in one dispatch —
+    # the SAME executable for both k (runtime trip count), so
+    # (t_big - t_small)/(K_big - K_small) compares identical code and
+    # cancels dispatch + fetch overhead exactly.
+    best = {K_SMALL: None, K_FILL: None}
+    for k, base, ts_k in staged_ts:
+        t0 = time.perf_counter()
+        h = db.step_chain_dyn_async(pts_fill, list(range(base, base + k)),
+                                    ts_k)
+        blk_handles.append(h)
+        fetch1(h.recs)
+        dt = time.perf_counter() - t0
+        best[k] = dt if best[k] is None else min(best[k], dt)
+        log(f"chain({k}): {dt * 1e3:.1f} ms")
+    t_small, t_big = best[K_SMALL], best[K_FILL]
     dt_fused_ms = (t_big - t_small) / (K_FILL - K_SMALL) * 1e3
     log(f"fused device time: {dt_fused_ms:.3f} ms/scan "
         f"(t{K_SMALL}={t_small * 1e3:.1f} ms, t{K_FILL}={t_big * 1e3:.1f} ms)")
@@ -298,7 +285,30 @@ def main():
     def rnd(v):
         return round(v, 3) if v is not None else None
 
-    # ---- secondary phases (each budget-gated, honest chain timing) ---------
+    # ---- secondary phases (each budget-gated, honest chain timing).
+    # Staging now happens post-switch: each staging step is a compile (remote,
+    # unaffected by degraded mode) + a few ~40 ms degraded dispatches —
+    # nothing here can delay the already-emitted headline. -------------------
+    B_BLK = 16
+    NB_BIG = 4
+    blk_staged = None
+    if in_budget(110):
+        log("staging block16 descriptors (compiles vmapped build)")
+        batch_build = jax.jit(
+            jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
+        descs_nb = jax.vmap(batch_build)(
+            pts_fill[:NB_BIG * B_BLK].reshape((NB_BIG, B_BLK)
+                                              + clouds.shape[1:]))
+        descs_1 = jax.tree.map(lambda a: a[:1], descs_nb)
+        jax.block_until_ready(jax.tree.leaves(descs_nb)[0])
+        blk_staged = (descs_nb, descs_1)
+
+    qdesc = None
+    if in_budget(110):
+        log("staging query descriptor + serving batch")
+        qdesc = build_descriptor(pts_fill[0], cfg.cm, cfg.gmm)
+        jax.block_until_ready(jax.tree.leaves(qdesc)[0])
+    loc_pts = pts_fill[:B_BLK]
 
     # block-16 batched throughput: NB sequential blocks chained in one
     # dispatch; differencing NB=1 vs NB=4 isolates per-block device time
@@ -376,7 +386,7 @@ def main():
     n_have = db.n
     # worst-case COLD-cache compile at these shapes: ~40/70/190 s
     big_need = {8192: 60, 32768: 90, 131072: 150}
-    for n_db in (8192, 32768, 131072):
+    for n_db in (8192, 32768, 131072) if qdesc is not None else ():
         if not in_budget(big_need[n_db]):
             break
         log(f"phase bigdb {n_db}")

@@ -707,6 +707,33 @@ def _step_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
     return store, keys_q, ts_store, state, recs_store, recs
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("pcfg",))
+def _step_chain_dyn(store: ScanDesc, keys_q, ts_store, state, recs_store,
+                    points_k, ts_k, k, pcfg: PipelineConfig):
+    """_step_chain with a DYNAMIC chain length `k` (device int32 scalar):
+    runs the first k rows of `points_k`/`ts_k` through the fused per-scan
+    step in ONE dispatch (lax.fori_loop -> while_loop, trip count a runtime
+    value). ONE executable serves every k <= points_k.shape[0], so the
+    chained-dispatch differencing methodology (bench.py) measures the SAME
+    compiled code at both chain lengths — and pays one XLA compile instead
+    of one per length. Records land in the recs_store ring (rows
+    state[0]..state[0]+k-1); the (K, W) stacked-records output of
+    _step_chain is not produced.
+
+    Returns (store', keys_q', ts_store', state', recs_store').
+    """
+    def body(i, carry):
+        store, keys_q, ts_store, state, recs_store = carry
+        pts = jax.lax.dynamic_index_in_dim(points_k, i, keepdims=False)
+        store, keys_q, ts_store, state, recs_store, _rec = _scan_step_impl(
+            store, keys_q, ts_store, state, recs_store, pts, ts_k[i], pcfg)
+        return (store, keys_q, ts_store, state, recs_store)
+
+    return jax.lax.fori_loop(
+        0, k, body, (store, keys_q, ts_store, state, recs_store))
+
+
 def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):
     n, pop_ptr = state[0], state[1]
     idx = jnp.arange(ts_store.shape[0], dtype=jnp.int32)
@@ -1456,6 +1483,33 @@ class ContourDB:
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += K
         return BlockHandle(recs, self, row0=row0)
+
+    def step_chain_dyn_async(self, points_buf, seqs, ts_k) -> "BlockHandle":
+        """step_chain_async with a DYNAMIC chain length (see _step_chain_dyn):
+        processes the first len(seqs) rows of `points_buf` (which may be
+        longer). One executable per BUFFER shape — every chain length k
+        reuses it, so repeated mixed-length chains (bench.py's differencing
+        methodology) pay a single compile."""
+        K = int(len(seqs))
+        assert K <= int(points_buf.shape[0])
+        ts_k = jnp.asarray(ts_k, jnp.float32)
+        assert int(ts_k.shape[0]) == int(points_buf.shape[0]), \
+            "ts_k must cover the full buffer (rows past k are ignored)"
+        if self.store is None:
+            self._init_store()
+        self._ensure_capacity(K)
+        assert self.n + K <= self.capacity, "DB capacity exceeded"
+        if self.recs_store is None:
+            self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
+                                        jnp.float32)
+        row0 = self.n
+        (self.store, self.keys_q, self.ts_store, self.state,
+         self.recs_store) = _step_chain_dyn(
+            self.store, self.keys_q, self.ts_store, self.state,
+            self.recs_store, points_buf, ts_k, jnp.int32(K), self.cfg)
+        self.seq_of_gidx.extend(int(s) for s in seqs)
+        self.n += K
+        return BlockHandle(self.recs_store[row0:row0 + K], self, row0=row0)
 
     def block_chain_async(self, descs_nb: ScanDesc, seqs, ts_nb
                           ) -> "BlockHandle":

@@ -71,42 +71,47 @@ def rasterize_bev(points: jnp.ndarray, cfg: ContourManagerConfig):
     # on this TPU a 3-key lax.sort of 131k elements costs 0.14 ms while ONE
     # 131k scatter or gather costs ~1.1 ms (scripts/desc_latency_bench.py,
     # 2026-08-18) — the scatter formulation paid that tax three times.
+    # Sort cost scales with total operand count, so both passes carry the
+    # MINIMUM payload: the point-index tie-break key is replaced by
+    # lax.sort's stability (is_stable defaults to True — equal (pid, -h)
+    # rows keep array order, which IS the reference's first-point-wins
+    # rule), sentinels are recognized by their -inf key instead of an index
+    # payload, and the empty-pixel flag rides inside val_h as -inf.
     #
     # Pass 1: sort points together with one SENTINEL row per pixel by
-    # (pid, -h, point index). The sentinel's -h = -inf puts it FIRST in its
-    # pixel's run; the element immediately after it (if any, same pid) is the
-    # pixel's winner — max h, ties broken by min point index, exactly the
-    # reference's strict `<` update rule (contour_mng.h:505-556). x/y ride
-    # as payload so no gather is needed for the argmax position.
+    # (pid, -h), stable. The sentinel's -h = -inf puts it FIRST in its
+    # pixel's run; the element immediately after it (if any, same pid) is
+    # the pixel's winner — max h, ties broken by min point index, exactly
+    # the reference's strict `<` update rule (contour_mng.h:505-556). x/y
+    # ride as payload so no gather is needed for the argmax position.
     sent_pid = jnp.arange(S, dtype=jnp.int32)
     a_pid = jnp.concatenate([pid, sent_pid])
     a_negh = jnp.concatenate([
         jnp.where(ok, -h, jnp.inf).astype(jnp.float32),
         jnp.full((S,), -jnp.inf, jnp.float32)])
-    a_idx = jnp.concatenate([jnp.arange(P, dtype=jnp.int32),
-                             jnp.full((S,), P, jnp.int32)])
     a_x = jnp.concatenate([x, jnp.zeros((S,), x.dtype)]).astype(jnp.float32)
     a_y = jnp.concatenate([y, jnp.zeros((S,), y.dtype)]).astype(jnp.float32)
-    sp, sn, si, sx, sy = jax.lax.sort((a_pid, a_negh, a_idx, a_x, a_y),
-                                      num_keys=3)
+    sp, sn, sx, sy = jax.lax.sort((a_pid, a_negh, a_x, a_y), num_keys=2)
     # winner = the element right after each sentinel (sentinels are unique
-    # per pid, so a same-pid successor is always a real point)
+    # per pid, so a same-pid successor is always a real point; invalid
+    # points carry -h = +inf and pid = S, outside every sentinel run)
     nxt_same = jnp.concatenate([sp[1:] == sp[:-1],
                                 jnp.zeros((1,), bool)])
     hn = jnp.concatenate([-sn[1:], jnp.full((1,), -jnp.inf, jnp.float32)])
     xn = jnp.concatenate([sx[1:], jnp.zeros((1,), jnp.float32)])
     yn = jnp.concatenate([sy[1:], jnp.zeros((1,), jnp.float32)])
     hasw = nxt_same & jnp.isfinite(hn)
-    val_h = jnp.where(hasw, hn, -VAL_ABS_INF)
+    val_h = jnp.where(hasw, hn, -jnp.inf)   # -inf = empty pixel marker
     # Pass 2: float the sentinels (now carrying their pixel's winner) to the
     # front in pid order — the first S rows ARE the dense BEV image, no
-    # scatter needed.
-    sent_last = jnp.where(si == P, jnp.int32(0), jnp.int32(1))
-    _, _, d_h, d_x, d_y, d_has = jax.lax.sort(
-        (sent_last, sp, val_h, xn, yn, hasw.astype(jnp.float32)),
-        num_keys=2)
-    bev = d_h[:S]
-    has = d_has[:S] > 0.5
+    # scatter needed. One packed int32 key: sentinel rows get their pid
+    # (0..S-1, all distinct), everything else S + pid >= S (relative order
+    # irrelevant — only the first S rows are read).
+    is_sent = jnp.isneginf(sn)
+    key2 = jnp.where(is_sent, sp, sp + S)
+    _, d_h, d_x, d_y = jax.lax.sort((key2, val_h, xn, yn), num_keys=1)
+    has = jnp.isfinite(d_h[:S])
+    bev = jnp.where(has, d_h[:S], -VAL_ABS_INF)
     rowf = jnp.where(has, d_x[:S] / cfg.reso_row + nr / 2 - 0.5, -1.0)
     colf = jnp.where(has, d_y[:S] / cfg.reso_col + nc / 2 - 0.5, -1.0)
     return bev, rowf.astype(jnp.float32), colf.astype(jnp.float32)
@@ -138,6 +143,29 @@ def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
     labels0 = jnp.where(masks, lin[None], S)
     brk = ~masks                     # background breaks every run
 
+    # Packed single-int32 segmented min-scans: a (value, break-flag) tuple
+    # scan costs ~5 VPU ops per combine; packing the segment id into the
+    # high bits and the NEGATED label into the low bits turns the segmented
+    # min into a plain running MAX (1 op per combine). Along the scan
+    # direction the segment id is nondecreasing, so the running max's
+    # segment component always equals the current position's segment —
+    # cross-segment candidates (smaller seg id) can never win, and within
+    # the segment max(MAXV - lab) = min(lab). Segment ids are loop-invariant
+    # (cumulative break counts per row/column, one per scan direction),
+    # hoisted out of the fixpoint loop. Bits: lab <= S < 2^15 for the
+    # 150x150 grid; seg <= max(nr, nc) + 1; packed < (nc+2)<<15 < 2^31 for
+    # grids up to ~4096 wide. Larger grids fall back to the tuple scan.
+    packable = S < (1 << 15)
+    MAXV = (1 << 15) - 1
+    segs = {}
+    for axis in (1, 2):
+        b32 = brk.astype(jnp.int32)
+        segs[axis] = (
+            jnp.cumsum(b32, axis=axis) << 15,
+            jnp.flip(jnp.cumsum(jnp.flip(b32, axis=axis), axis=axis),
+                     axis=axis) << 15,
+        )
+
     def comb(a, b):
         # segmented min: a right-segment start blocks propagation from left
         av, af = a
@@ -145,20 +173,34 @@ def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
 
     def run_min(lab, axis):
-        fv, _ = lax.associative_scan(comb, (lab, brk), axis=axis)
-        rv, _ = lax.associative_scan(comb, (lab, brk), axis=axis,
-                                     reverse=True)
-        return jnp.minimum(fv, rv)
+        if not packable:
+            fv, _ = lax.associative_scan(comb, (lab, brk), axis=axis)
+            rv, _ = lax.associative_scan(comb, (lab, brk), axis=axis,
+                                         reverse=True)
+            return jnp.minimum(fv, rv)
+        seg_f, seg_r = segs[axis]
+        neg = MAXV - lab
+        rm_f = lax.associative_scan(jnp.maximum, seg_f | neg, axis=axis)
+        rm_r = lax.associative_scan(jnp.maximum, seg_r | neg, axis=axis,
+                                    reverse=True)
+        return MAXV - (jnp.maximum(rm_f & MAXV, rm_r & MAXV))
 
-    def body(state):
-        lab, _ = state
+    def propagate(lab):
         neigh = lax.reduce_window(
             lab, jnp.int32(S), lax.min,
             window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
             padding="SAME")
         new = jnp.where(masks, jnp.minimum(lab, neigh), S)
         new = jnp.where(masks, run_min(new, 2), S)
-        new = jnp.where(masks, run_min(new, 1), S)
+        return jnp.where(masks, run_min(new, 1), S)
+
+    def body(state):
+        lab, _ = state
+        # two propagation rounds per fixpoint check: labels only decrease
+        # toward the component min, so extra rounds are always safe — this
+        # halves the while_loop iterations (each iteration is a device-side
+        # sync on the convergence reduction)
+        new = propagate(propagate(lab))
         return new, jnp.any(new != lab)
 
     def cond(state):

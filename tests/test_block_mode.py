@@ -286,3 +286,52 @@ def test_step_chain_matches_step_async():
     np.testing.assert_allclose(np.asarray(db_ch.recs_store[:db_ch.n]),
                                np.asarray(db_seq.recs_store[:db_seq.n]),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_step_chain_dyn_matches_step_chain():
+    """The dynamic-length chain (_step_chain_dyn: runtime trip count, one
+    executable for every k <= buffer rows) must equal step_chain_async
+    record-for-record, including when k < the buffer length."""
+    import jax.numpy as jnp
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(12, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(6)]
+    poses += [(10.0 * (5 - i) + 0.5, 0.8, 0.15) for i in range(6)]
+    ts = np.cumsum([1.0, 2.0, 16.0, 1.0, 30.0, 1.5,
+                    1.0, 20.0, 2.0, 16.0, 1.0, 25.0]).astype(np.float32)
+    clouds = np.stack([
+        pad_points(render_scan(world, p, seed=800 + i), cfg.cm.max_points)
+        for i, p in enumerate(poses)])
+    n = len(poses)
+
+    db_ref = ContourDB(cfg, capacity=32)
+    href = db_ref.step_chain_async(jnp.asarray(clouds), list(range(n)), ts)
+    ref_recs = href.get()
+
+    # same stream split as: dyn chain of 5 out of a 12-row buffer (k < K),
+    # then a dyn chain of the remaining 7 out of a 7-row buffer (k == K)
+    db_dyn = ContourDB(cfg, capacity=32)
+    h1 = db_dyn.step_chain_dyn_async(jnp.asarray(clouds), list(range(5)), ts)
+    h2 = db_dyn.step_chain_dyn_async(jnp.asarray(clouds[5:]),
+                                     list(range(5, n)), ts[5:])
+    dyn_recs = h1.get() + h2.get()
+
+    assert len(ref_recs) == len(dyn_recs) == n
+    n_found = 0
+    for i, (rs, rc) in enumerate(zip(ref_recs, dyn_recs)):
+        if rs is None:
+            assert rc is None, (i, rc)
+            continue
+        assert rc is not None, (i, rs)
+        n_found += 1
+        assert rs[0] == rc[0], (i, rs, rc)
+        np.testing.assert_allclose(rc[1], rs[1], rtol=1e-4)
+        np.testing.assert_allclose(rc[2], rs[2], rtol=1e-4, atol=1e-5)
+    assert n_found >= 1, ref_recs
+    assert db_dyn.n == db_ref.n
+    assert db_dyn.searchable_n == db_ref.searchable_n
+    np.testing.assert_allclose(np.asarray(db_dyn.recs_store[:db_dyn.n]),
+                               np.asarray(db_ref.recs_store[:db_ref.n]),
+                               rtol=1e-4, atol=1e-5)
