@@ -1484,12 +1484,19 @@ class ContourDB:
         self.n += K
         return BlockHandle(recs, self, row0=row0)
 
-    def step_chain_dyn_async(self, points_buf, seqs, ts_k) -> "BlockHandle":
+    def step_chain_dyn_async(self, points_buf, seqs, ts_k,
+                             k_dev=None) -> "BlockHandle":
         """step_chain_async with a DYNAMIC chain length (see _step_chain_dyn):
         processes the first len(seqs) rows of `points_buf` (which may be
         longer). One executable per BUFFER shape — every chain length k
         reuses it, so repeated mixed-length chains (bench.py's differencing
-        methodology) pay a single compile."""
+        methodology) pay a single compile.
+
+        `k_dev` optionally passes the chain length as a PRE-STAGED device
+        int32 scalar (must equal len(seqs)): the default host-side
+        jnp.int32(K) is a fresh host->device upload per call, which costs
+        ~200 ms once the process is in post-first-fetch degraded mode (see
+        CLAUDE.md) — timing loops should stage their k scalars up front."""
         K = int(len(seqs))
         assert K <= int(points_buf.shape[0])
         ts_k = jnp.asarray(ts_k, jnp.float32)
@@ -1506,7 +1513,8 @@ class ContourDB:
         (self.store, self.keys_q, self.ts_store, self.state,
          self.recs_store) = _step_chain_dyn(
             self.store, self.keys_q, self.ts_store, self.state,
-            self.recs_store, points_buf, ts_k, jnp.int32(K), self.cfg)
+            self.recs_store, points_buf, ts_k,
+            jnp.int32(K) if k_dev is None else k_dev, self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += K
         return BlockHandle(self.recs_store[row0:row0 + K], self, row0=row0)

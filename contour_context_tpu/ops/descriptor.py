@@ -63,8 +63,11 @@ def rasterize_bev(points: jnp.ndarray, cfg: ContourManagerConfig):
     row = jnp.floor(x / cfg.reso_row).astype(jnp.int32) + nr // 2
     col = jnp.floor(y / cfg.reso_col).astype(jnp.int32) + nc // 2
     ok &= row > 0  # reference quirk: row 0 dropped (contour_mng.h:515)
-    pid = jnp.where(ok, row * nc + col, S).astype(jnp.int32)
     h = z + cfg.lidar_height
+    # a real point with non-finite height (h=+inf -> -h=-inf) would alias
+    # the sentinel rows pass 2 recognizes by isneginf, shifting the dense BEV
+    ok &= jnp.isfinite(h)
+    pid = jnp.where(ok, row * nc + col, S).astype(jnp.int32)
     P = points.shape[0]
 
     # Sort-based reduction instead of scatter-max + gather + scatter-min:
