@@ -96,6 +96,128 @@ def _corr_norm(src: GmmScan, tgt: GmmScan):
     return jnp.sqrt(jnp.maximum(src.auto_corr * tgt.auto_corr, 1e-12))
 
 
+def gmm_value_grad_hess(params: jnp.ndarray, src: GmmScan, tgt: GmmScan,
+                        sel: jnp.ndarray, scale: float):
+    """Analytic (cost, gradient, Hessian) of gmm_cost w.r.t. (x, y, theta).
+
+    Replaces forward-over-reverse AD inside the LM refinement loop: the AD
+    pipeline emitted hundreds of small sequential kernels per iteration
+    (10 iterations dominated the fine-opt stage at ~2.2 ms/scan on a v5e);
+    the closed form is one fused elementwise pass over the (G, K, K) pair
+    grid plus ten scalar reductions. Exactness is pinned against
+    jax.grad/jax.hessian of gmm_cost in test_cascade.py.
+
+    Derivation (per selected pair; u = R mu_j, m = u + t - mu_k,
+    S = scale*(R C_j R^T + C_k), E = R C_j R^T, v = w det(S)^{-1/2}
+    exp(-q/2), q = m^T S^{-1} m, L = log v):
+      dE/dtheta   = [[-2 E01, E00 - E11], [., 2 E01]]
+      d2E/dtheta2 = [[-2(E00-E11), -4 E01], [., 2(E00-E11)]]
+      dL/dp = -1/2 tr(S^-1 dS) - 1/2 dq,  dq = 2 dm.alpha - alpha.dS.alpha
+      with alpha = S^-1 m; second derivatives via alpha_theta =
+      S^-1 m_theta - S^-1 S_theta alpha and m_thetatheta = -u.
+    Hess = -sum v (L_p L_q + L_pq); grad = -sum v L_p.
+    """
+    x, y, th = params[0], params[1], params[2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    g2 = scale
+
+    muj = src.mus                                     # (G, K, 2)
+    a = src.covs[..., 0, 0]
+    b = src.covs[..., 0, 1]
+    d = src.covs[..., 1, 1]
+    u0 = c * muj[..., 0] - s * muj[..., 1]
+    u1 = s * muj[..., 0] + c * muj[..., 1]
+    E00 = c * c * a - 2 * c * s * b + s * s * d
+    E01 = c * s * (a - d) + (c * c - s * s) * b
+    E11 = s * s * a + 2 * c * s * b + c * c * d
+
+    def J(z):                                         # src j -> pair grid
+        return z[..., :, None]
+
+    def Kx(z):                                        # tgt k -> pair grid
+        return z[..., None, :]
+
+    ck00 = tgt.covs[..., 0, 0]
+    ck01 = tgt.covs[..., 0, 1]
+    ck11 = tgt.covs[..., 1, 1]
+    S00 = g2 * (J(E00) + Kx(ck00))
+    S01 = g2 * (J(E01) + Kx(ck01))
+    S11 = g2 * (J(E11) + Kx(ck11))
+    S00t = -2 * g2 * J(E01)                           # dS/dtheta
+    S01t = g2 * J(E00 - E11)
+    S11t = 2 * g2 * J(E01)
+    S00tt = -2 * g2 * J(E00 - E11)                    # d2S/dtheta2
+    S01tt = -4 * g2 * J(E01)
+    S11tt = 2 * g2 * J(E00 - E11)
+
+    m0 = J(u0) + x - Kx(tgt.mus[..., 0])
+    m1 = J(u1) + y - Kx(tgt.mus[..., 1])
+    mt0 = J(-u1)                                      # dm/dtheta = R' mu_j
+    mt1 = J(u0)
+    mtt0 = J(-u0)                                     # d2m/dtheta2 = -u
+    mtt1 = J(-u1)
+
+    det = jnp.maximum(S00 * S11 - S01 * S01, 1e-12)
+    inv_det = 1.0 / det
+    I00 = S11 * inv_det
+    I01 = -S01 * inv_det
+    I11 = S00 * inv_det
+    al0 = I00 * m0 + I01 * m1                         # alpha = S^-1 m
+    al1 = I01 * m0 + I11 * m1
+    q = m0 * al0 + m1 * al1
+
+    w = jnp.where(sel, J(src.ws) * Kx(tgt.ws), 0.0)
+    v = w * jax.lax.rsqrt(det) * jnp.exp(-0.5 * q)
+
+    # first derivatives of L
+    Lx = -al0
+    Ly = -al1
+    Sta0 = S00t * al0 + S01t * al1                    # S_theta alpha
+    Sta1 = S01t * al0 + S11t * al1
+    trt = I00 * S00t + 2 * I01 * S01t + I11 * S11t
+    qt = 2 * (mt0 * al0 + mt1 * al1) - (al0 * Sta0 + al1 * Sta1)
+    Lt = -0.5 * trt - 0.5 * qt
+
+    # second derivatives of L
+    Lxx = -I00
+    Lxy = -I01
+    Lyy = -I11
+    bt0 = I00 * mt0 + I01 * mt1                       # S^-1 m_theta
+    bt1 = I01 * mt0 + I11 * mt1
+    dl0 = I00 * Sta0 + I01 * Sta1                     # S^-1 S_theta alpha
+    dl1 = I01 * Sta0 + I11 * Sta1
+    at0 = bt0 - dl0                                   # alpha_theta
+    at1 = bt1 - dl1
+    Lxt = -at0
+    Lyt = -at1
+    Mt00 = I00 * S00t + I01 * S01t                    # S^-1 S_theta
+    Mt01 = I00 * S01t + I01 * S11t
+    Mt10 = I01 * S00t + I11 * S01t
+    Mt11 = I01 * S01t + I11 * S11t
+    trtt = -(Mt00 * Mt00 + 2 * Mt01 * Mt10 + Mt11 * Mt11) \
+        + (I00 * S00tt + 2 * I01 * S01tt + I11 * S11tt)
+    qtt = (2 * (mtt0 * al0 + mtt1 * al1)
+           + 2 * (mt0 * at0 + mt1 * at1)
+           - 2 * (at0 * Sta0 + at1 * Sta1)
+           - (al0 * al0 * S00tt + 2 * al0 * al1 * S01tt
+              + al1 * al1 * S11tt))
+    Ltt = -0.5 * trtt - 0.5 * qtt
+
+    red = lambda z: jnp.sum(v * z)
+    f = -jnp.sum(v)
+    grad = -jnp.stack([red(Lx), red(Ly), red(Lt)])
+    hxx = red(Lx * Lx + Lxx)
+    hxy = red(Lx * Ly + Lxy)
+    hxt = red(Lx * Lt + Lxt)
+    hyy = red(Ly * Ly + Lyy)
+    hyt = red(Ly * Lt + Lyt)
+    htt = red(Lt * Lt + Ltt)
+    hess = -jnp.array([[hxx, hxy, hxt],
+                       [hxy, hyy, hyt],
+                       [hxt, hyt, htt]])
+    return f, grad, hess
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def init_correlation(src_batch: GmmScan, tgt: GmmScan, T_init: jnp.ndarray,
                      scale: float = 2.0):
@@ -121,8 +243,6 @@ def optimize_correlation(src_batch: GmmScan, tgt: GmmScan, T_init: jnp.ndarray,
     Ceres LBFGS line-search (same smooth objective, same iteration budget).
     Returns (corr (C,), T_opt (C, 3)).
     """
-    grad_fn = jax.grad(gmm_cost)
-
     def _solve3(A, b):
         """Closed-form 3x3 solve (adjugate/Cramer). jnp.linalg.solve lowers
         tiny LU factorizations to serialized while-loops on TPU; the LM
@@ -142,30 +262,28 @@ def optimize_correlation(src_batch: GmmScan, tgt: GmmScan, T_init: jnp.ndarray,
         return adj @ b / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
 
     def one(src, T0, sel_i):
-        def cost_f(p):
-            return gmm_cost(p, src, tgt, sel_i, scale)
-
-        def gg(p):
-            return grad_fn(p, src, tgt, sel_i, scale)
+        def vgh(p):
+            return gmm_value_grad_hess(p, src, tgt, sel_i, scale)
 
         def step(carry, _):
             p, f, lam = carry
-            # grad + Hessian in ONE vmapped forward-over-reverse pass (the
-            # primal of each jvp IS the gradient; tangents are H's rows) —
-            # jax.hessian plus a separate grad call re-ran the reverse pass
-            gs, Hm = jax.vmap(lambda v: jax.jvp(gg, (p,), (v,)))(jnp.eye(3))
-            g = gs[0]
+            # analytic value+grad+Hessian in one fused elementwise pass
+            # (gmm_value_grad_hess) — forward-over-reverse AD here emitted
+            # hundreds of small sequential kernels per LM iteration
+            _f0, g, Hm = vgh(p)
             A = Hm + lam * jnp.eye(3)
             dp = _solve3(A + 1e-9 * jnp.eye(3), -g)
             p_new = p + dp
-            f_new = cost_f(p_new)
+            # value-only probe: XLA dead-code-eliminates the unused grad/
+            # Hessian outputs, and sharing vgh keeps the floats consistent
+            f_new, _, _ = vgh(p_new)
             ok = (f_new < f) & jnp.all(jnp.isfinite(p_new))
             p = jnp.where(ok, p_new, p)
             f = jnp.where(ok, f_new, f)
             lam = jnp.where(ok, lam * 0.33, lam * 10.0)
             return (p, f, lam), None
 
-        f0 = cost_f(T0)
+        f0, _, _ = vgh(T0)
         (p, f, _), _ = jax.lax.scan(step, (T0, f0, jnp.float32(1e-3)),
                                     None, length=iters)
         return -f / _corr_norm(src, tgt), p
