@@ -67,29 +67,29 @@ def select_topk_stable(priority, mask, cap: int):
     return perm, sel[perm], n_masked, overflow
 
 
-def dense_pair_maps(pair_valid, pair_level, pair_seq_src, pair_seq_tgt,
-                    pair_perc):
-    """(H, P) ragged pair lists -> dense (H, NUM_SLOTS) perc/taken maps.
+def _dense_pair_maps_rows(pair_valid, pair_level, pair_seq_src, pair_seq_tgt,
+                          pair_perc):
+    """(MP, P) ragged pair lists -> dense (MP, NUM_SLOTS) perc/taken maps.
 
     Duplicate ids within one hint's pair list (possible when a src neighbor
     is bit-adjacent to two tgt neighbors sharing a seq) keep the FIRST
     pair's perc — the reference's std::map setdefault semantics
-    (contour_db.h:305), which the host replica in db.py also pins."""
-    H, P = pair_valid.shape
+    (contour_db.h:305), which the host replica in db.py also pins.
+    Built as broadcast compares + reductions (no scatters: a (H, 601)
+    scatter-add lowers to a serialized TPU scatter)."""
+    MP, P = pair_valid.shape
     ids = jnp.where(
         pair_valid,
         pair_level * (N_SEQ * N_SEQ) + pair_seq_src * N_SEQ + pair_seq_tgt,
         NUM_SLOTS)
-    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
-    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (H, P))
-    first_pos = jnp.full((H, NUM_SLOTS + 1), P, jnp.int32).at[rows, ids].min(
-        jnp.where(pair_valid, pos, P))
-    is_first = pair_valid & (pos == first_pos[rows, ids])
-    perc = jnp.zeros((H, NUM_SLOTS + 1), jnp.float32).at[rows, ids].add(
-        jnp.where(is_first, pair_perc, 0.0))
-    taken = jnp.zeros((H, NUM_SLOTS + 1), jnp.float32).at[rows, ids].add(
-        pair_valid.astype(jnp.float32))
-    return perc[:, :NUM_SLOTS], taken[:, :NUM_SLOTS] > 0
+    hit = ids[:, :, None] == jnp.arange(NUM_SLOTS,
+                                        dtype=ids.dtype)[None, None, :]
+    taken = jnp.any(hit, axis=1)                            # (MP, SLOTS)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :, None]
+    first_pos = jnp.min(jnp.where(hit, pos, P), axis=1)     # (MP, SLOTS)
+    is_first = hit & (pos == first_pos[:, None, :])
+    perc = jnp.sum(jnp.where(is_first, pair_perc[:, :, None], 0.0), axis=1)
+    return perc, taken
 
 
 @functools.partial(jax.jit, static_argnames=("n_cand_max", "n_pass_max"))
@@ -97,17 +97,31 @@ def merge_proposals(pass3, gidx, T_delta, pair_valid, pair_level,
                     pair_seq_src, pair_seq_tgt, pair_perc,
                     n_cand_max: int = 32, n_pass_max: int = 64
                     ) -> CandidateState:
-    """Sequentially merge the passing hints' proposals (addProposal replica).
+    """Merge the passing hints' proposals (addProposal replica,
+    contour_db.h:286-338), bit-identical to processing hints one by one in
+    input order (the reference's (q_level, anchor, ranked-hit) order).
 
-    Hints are processed in input order (the reference's (q_level, anchor,
-    ranked-hit) order); non-passing hints are skipped via a stable compaction.
+    TPU decomposition (r3; the r2 form was ONE while_loop over all passing
+    hints whose body carried the (C, 4, NUM_SLOTS) union maps — 2.36 ms/scan
+    of serialized small-kernel iterations on a v5e):
+
+    1. Hints touching DIFFERENT candidate poses never interact, so the
+       sequential trip count drops from #passing hints to max hints per
+       candidate row: a while_loop whose body advances EVERY candidate row
+       by its j-th hint at once, touching only the small state (prop_T,
+       votes, counts). Candidate rows are pre-assigned by first-seen order
+       of gidx (exactly the sequential create order).
+    2. The constellation-pair unions (the heavy (C, 4, NUM_SLOTS) maps) are
+       order-insensitive given the loop's hint->(row, slot) assignment:
+       taken = OR over assigned hints, perc = the FIRST assigned hint
+       inserting each slot (setdefault). Computed afterwards as a segmented
+       first-wins scan over the hints sorted by (row*4+slot, order) plus one
+       exact one-hot matmul selecting each group's last row.
     """
     H = pass3.shape[0]
     C = n_cand_max
     MP = min(n_pass_max, H)
 
-    dense_perc, dense_taken = dense_pair_maps(
-        pair_valid, pair_level, pair_seq_src, pair_seq_tgt, pair_perc)
     votes_h = jnp.sum(pair_valid, axis=1).astype(jnp.int32)
 
     # Under merge-budget overflow (dense self-similar maps) keep the MP
@@ -119,110 +133,152 @@ def merge_proposals(pass3, gidx, T_delta, pair_valid, pair_level,
 
     g = gidx[perm].astype(jnp.int32)
     T = T_delta[perm]
-    dperc = dense_perc[perm]
-    dtaken = dense_taken[perm]
     votes = votes_h[perm]
+    n_live = jnp.minimum(n_pass, MP)
+    iota = jnp.arange(MP, dtype=jnp.int32)
+    live = iota < n_live
 
-    init = CandidateState(
-        cand_gidx=jnp.full((C,), -1, jnp.int32),
-        n_cand=jnp.int32(0),
-        prop_n=jnp.zeros((C,), jnp.int32),
-        prop_T=jnp.zeros((C, P_PROP, 3), jnp.float32),
-        prop_votes=jnp.zeros((C, P_PROP), jnp.int32),
-        prop_taken=jnp.zeros((C, P_PROP, NUM_SLOTS), bool),
-        prop_perc=jnp.zeros((C, P_PROP, NUM_SLOTS), jnp.float32),
-        overflow_cand=jnp.int32(0),
-        overflow_pass=overflow_pass,
-    )
+    # --- candidate-row assignment: cidx = first-seen rank of gidx ---------
+    BIGG = jnp.int32(0x7FFFFFFF)
+    sg, sm = jax.lax.sort((jnp.where(live, g, BIGG), iota), num_keys=2)
+    is_first_s = jnp.concatenate([jnp.ones((1,), bool), sg[1:] != sg[:-1]]) \
+        & (sg != BIGG)
+    # propagate each group's first member m along the group (groups ascend
+    # in sorted order, so a packed running max carries (group ordinal, m))
+    grp_ord = jnp.cumsum(is_first_s.astype(jnp.int32))
+    packed = jnp.where(is_first_s, grp_ord * MP + sm, -1)
+    fm_s = lax.associative_scan(jnp.maximum, packed) % MP   # first m, sorted
+    # back to m order (MP-element scatter: trivial)
+    first_m = jnp.zeros((MP,), jnp.int32).at[sm].set(fm_s)
+    is_first_m = jnp.zeros((MP,), bool).at[
+        jnp.where(is_first_s, sm, MP)].set(is_first_s, mode="drop")
+    rank_at_m = jnp.cumsum(is_first_m.astype(jnp.int32)) - 1
+    cidx_h = rank_at_m[first_m]                             # (MP,) row of hint
+    drop_h = live & (cidx_h >= C)
+    overflow_cand = jnp.sum(drop_h).astype(jnp.int32)
+    keep_h = live & ~drop_h
+    n_groups = jnp.sum(is_first_m).astype(jnp.int32)
+    n_cand = jnp.minimum(n_groups, C)
+    cand_gidx = jnp.full((C,), -1, jnp.int32).at[
+        jnp.where(is_first_m & (rank_at_m < C), rank_at_m, C)].set(
+        g, mode="drop")
 
-    def body(m, st: CandidateState):
-        live = m < jnp.minimum(n_pass, MP)
-        g_m = g[m]
-        T_m = T[m]
-        w2 = votes[m]
+    # within-row arrival order j (position within the (g, m) sorted group)
+    pos_s = jnp.arange(MP, dtype=jnp.int32)
+    gstart = lax.associative_scan(
+        jnp.maximum, jnp.where(is_first_s, pos_s, -1))
+    j_s = pos_s - gstart
+    j_h = jnp.zeros((MP,), jnp.int32).at[sm].set(j_s)       # (MP,)
+    hint_of = jnp.full((C, MP), -1, jnp.int32).at[
+        jnp.where(keep_h, cidx_h, C), j_h].set(iota, mode="drop")
+    nj = jnp.max(jnp.where(keep_h, j_h + 1, 0))
 
-        # --- find or create the candidate row ----------------------------
-        eq = st.cand_gidx == g_m
-        found = jnp.any(eq) & live
-        create = live & ~found & (st.n_cand < C)
-        cidx = jnp.where(found, jnp.argmax(eq), st.n_cand)
-        cidx = jnp.clip(cidx, 0, C - 1).astype(jnp.int32)
-        drop_cand = live & ~found & (st.n_cand >= C)
-
-        # --- match an existing proposal (delta within 2 m / 0.3 rad) -----
-        pT = st.prop_T[cidx]                               # (4, 3)
-        c_m, s_m = jnp.cos(T_m[2]), jnp.sin(T_m[2])
-        dx = pT[:, 0] - T_m[0]
-        dy = pT[:, 1] - T_m[1]
-        tx = c_m * dx + s_m * dy
-        ty = -s_m * dx + c_m * dy
-        dth = _clamp_ang(pT[:, 2] - T_m[2])
-        in_use = jnp.arange(P_PROP) < st.prop_n[cidx]
-        match = in_use & (jnp.hypot(tx, ty) < TF_TRANS_MERGE) & \
-            (jnp.abs(dth) < TF_ANG_MERGE)
-        has_match = jnp.any(match)
-        first = jnp.argmax(match).astype(jnp.int32)
-
-        can_append = st.prop_n[cidx] < P_PROP   # ref: skip if len(props) > 3
-        slot = jnp.where(has_match, first, jnp.minimum(st.prop_n[cidx], P_PROP - 1))
-        write = live & ~drop_cand & (has_match | can_append)
-
-        # --- merged / appended proposal values ----------------------------
-        old_T = pT[slot]
-        old_votes = st.prop_votes[cidx, slot]
-        old_taken = st.prop_taken[cidx, slot]
-        old_perc = st.prop_perc[cidx, slot]
-
-        w1 = old_votes
-        wsum = jnp.maximum(w1 + w2, 1).astype(jnp.float32)
-        trans = (old_T[:2] * w1 + T_m[:2] * w2) / wsum
-        # angle blend replica (contour_db.h:313-319)
-        diff = T_m[2] - old_T[2]
-        diff = jnp.where(diff < 0, diff + 2 * math.pi, diff)
-        diff = jnp.where(diff > math.pi, diff - 2 * math.pi, diff)
-        ang = diff * w2.astype(jnp.float32) / wsum + old_T[2]
-        T_merged = jnp.concatenate([trans, ang[None]])
-
-        new_T = jnp.where(has_match, T_merged, T_m)
-        new_votes = jnp.where(has_match, w1 + w2, w2)
-        new_taken = jnp.where(has_match, old_taken | dtaken[m], dtaken[m])
-        new_perc = jnp.where(has_match,
-                             jnp.where(old_taken, old_perc, dperc[m]),
-                             dperc[m])
-
-        sel = lambda cond, new, old: jnp.where(write & cond, new, old)
-        return CandidateState(
-            cand_gidx=st.cand_gidx.at[cidx].set(
-                jnp.where(create, g_m, st.cand_gidx[cidx])),
-            n_cand=st.n_cand + create.astype(jnp.int32),
-            prop_n=st.prop_n.at[cidx].set(
-                st.prop_n[cidx] + (write & ~has_match).astype(jnp.int32)),
-            prop_T=st.prop_T.at[cidx, slot].set(sel(True, new_T, old_T)),
-            prop_votes=st.prop_votes.at[cidx, slot].set(
-                sel(True, new_votes, old_votes)),
-            prop_taken=st.prop_taken.at[cidx, slot].set(
-                sel(True, new_taken, old_taken)),
-            prop_perc=st.prop_perc.at[cidx, slot].set(
-                sel(True, new_perc, old_perc)),
-            overflow_cand=st.overflow_cand + drop_cand.astype(jnp.int32),
-            overflow_pass=st.overflow_pass,
-        )
-
-    # dynamic trip count: iterate only over hints that actually passed
-    # (sequential merge order is load-bearing, but the tail of the MP cap is
-    # all dead iterations — a fixed fori_loop burned ~20 us/iteration x 128
-    # on the TPU regardless of how few hints passed; profiled 2026-08-18)
-    trip = jnp.minimum(n_pass, MP)
-
-    def wcond(carry):
-        return carry[0] < trip
+    # --- row-parallel sequential merge over the small state ---------------
+    rows = jnp.arange(C, dtype=jnp.int32)
+    slot_iota = jnp.arange(P_PROP, dtype=jnp.int32)[None, :]
 
     def wbody(carry):
-        m, st = carry
-        return m + 1, body(m, st)
+        j, prop_T, prop_votes, prop_n, key_of_m = carry
+        m_c = jax.lax.dynamic_slice(hint_of, (0, j), (C, 1))[:, 0]  # (C,)
+        act = m_c >= 0
+        mm = jnp.clip(m_c, 0, MP - 1)
+        T_m = T[mm]                                         # (C, 3)
+        w2 = votes[mm]                                      # (C,)
 
-    _, st = lax.while_loop(wcond, wbody, (jnp.int32(0), init))
-    return st
+        c_m, s_m = jnp.cos(T_m[:, 2:3]), jnp.sin(T_m[:, 2:3])
+        dx = prop_T[:, :, 0] - T_m[:, 0:1]
+        dy = prop_T[:, :, 1] - T_m[:, 1:2]
+        tx = c_m * dx + s_m * dy
+        ty = -s_m * dx + c_m * dy
+        dth = _clamp_ang(prop_T[:, :, 2] - T_m[:, 2:3])
+        in_use = slot_iota < prop_n[:, None]
+        match = in_use & (jnp.hypot(tx, ty) < TF_TRANS_MERGE) & \
+            (jnp.abs(dth) < TF_ANG_MERGE)                   # (C, 4)
+        has_match = jnp.any(match, axis=1)
+        first = jnp.argmax(match, axis=1).astype(jnp.int32)
+        can_append = prop_n < P_PROP    # ref: skip if len(props) > 3
+        slot = jnp.where(has_match, first,
+                         jnp.minimum(prop_n, P_PROP - 1))
+        write = act & (has_match | can_append)
+        oh = slot_iota == slot[:, None]                     # (C, 4)
+
+        old_T = jnp.sum(jnp.where(oh[..., None], prop_T, 0.0), axis=1)
+        old_votes = jnp.sum(jnp.where(oh, prop_votes, 0), axis=1)
+        w1 = old_votes
+        wsum = jnp.maximum(w1 + w2, 1).astype(jnp.float32)
+        trans = (old_T[:, :2] * w1[:, None]
+                 + T_m[:, :2] * w2[:, None]) / wsum[:, None]
+        # angle blend replica (contour_db.h:313-319)
+        diff = T_m[:, 2] - old_T[:, 2]
+        diff = jnp.where(diff < 0, diff + 2 * math.pi, diff)
+        diff = jnp.where(diff > math.pi, diff - 2 * math.pi, diff)
+        ang = diff * w2.astype(jnp.float32) / wsum + old_T[:, 2]
+        T_merged = jnp.concatenate([trans, ang[:, None]], axis=1)
+
+        new_T = jnp.where(has_match[:, None], T_merged, T_m)
+        new_votes = jnp.where(has_match, w1 + w2, w2)
+        wsel = (write[:, None] & oh)
+        prop_T = jnp.where(wsel[..., None], new_T[:, None, :], prop_T)
+        prop_votes = jnp.where(wsel, new_votes[:, None], prop_votes)
+        prop_n = prop_n + (write & ~has_match).astype(jnp.int32)
+        key_c = rows * P_PROP + slot
+        key_of_m = key_of_m.at[jnp.where(write, mm, MP)].set(
+            key_c, mode="drop")
+        return j + 1, prop_T, prop_votes, prop_n, key_of_m
+
+    init = (jnp.int32(0),
+            jnp.zeros((C, P_PROP, 3), jnp.float32),
+            jnp.zeros((C, P_PROP), jnp.int32),
+            jnp.zeros((C,), jnp.int32),
+            jnp.full((MP,), -1, jnp.int32))
+    _, prop_T, prop_votes, prop_n, key_of_m = lax.while_loop(
+        lambda c: c[0] < nj, wbody, init)
+
+    # --- constellation unions: segmented first-wins scan + one-hot matmul --
+    # sort hints by (assigned key, arrival order m); build each hint's dense
+    # pair map in THAT order, then an inclusive scan whose combine keeps the
+    # earliest taken slot's perc within each key group. The group's last row
+    # then holds the full union with setdefault percs — selected per key by
+    # an exact one-hot f32 matmul (exactly one 1.0 per row: a pure copy).
+    NK = C * P_PROP
+    key_m = jnp.where(key_of_m >= 0, key_of_m, NK)
+    sk, sm2 = jax.lax.sort((key_m, iota), num_keys=2)
+    rows_src = perm[sm2]
+    dperc_s, dtaken_s = _dense_pair_maps_rows(
+        pair_valid[rows_src], pair_level[rows_src], pair_seq_src[rows_src],
+        pair_seq_tgt[rows_src], pair_perc[rows_src])        # (MP, SLOTS)
+    seg_start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+
+    def comb(a, b):
+        fa, ta, pa = a
+        fb, tb, pb = b
+        f = fa | fb
+        t = jnp.where(fb, tb, ta | tb)
+        p = jnp.where(fb, pb, jnp.where(ta, pa, pb))
+        return f, t, p
+
+    _, t_scan, p_scan = lax.associative_scan(
+        comb, (jnp.broadcast_to(seg_start[:, None], dtaken_s.shape),
+               dtaken_s, dperc_s), axis=0)
+    grp_end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+    sel_end = ((sk[None, :] == jnp.arange(NK, dtype=sk.dtype)[:, None])
+               & grp_end[None, :]).astype(jnp.float32)      # (NK, MP)
+    taken_u = (sel_end @ t_scan.astype(jnp.float32)) > 0.5
+    perc_u = sel_end @ p_scan
+    prop_taken = taken_u.reshape(C, P_PROP, NUM_SLOTS)
+    prop_perc = perc_u.reshape(C, P_PROP, NUM_SLOTS)
+
+    return CandidateState(
+        cand_gidx=cand_gidx,
+        n_cand=n_cand,
+        prop_n=prop_n,
+        prop_T=prop_T,
+        prop_votes=prop_votes,
+        prop_taken=prop_taken,
+        prop_perc=prop_perc,
+        overflow_cand=overflow_cand,
+        overflow_pass=overflow_pass,
+    )
 
 
 def dynamic_pass_scan(pass1, ovlp_sum, ovlp_max1, in_ang, indiv, orie,

@@ -434,15 +434,16 @@ def test_dense_pair_maps_first_insert_wins():
     FIRST pair's perc (reference setdefault, contour_db.h:305), not a sum."""
     import jax.numpy as jnp
 
-    from contour_context_tpu.ops.candidate import N_SEQ, dense_pair_maps
+    from contour_context_tpu.ops.candidate import (N_SEQ,
+                                                   _dense_pair_maps_rows)
 
     pair_valid = jnp.array([[True, True, True, False]])
     pair_level = jnp.array([[1, 1, 2, 0]], jnp.int32)
     pair_seq = jnp.array([[3, 3, 4, 0]], jnp.int32)      # pairs 0,1 duplicate
     pair_perc = jnp.array([[0.10, 0.70, 0.20, 0.99]], jnp.float32)
 
-    perc, taken = dense_pair_maps(pair_valid, pair_level, pair_seq, pair_seq,
-                                  pair_perc)
+    perc, taken = _dense_pair_maps_rows(pair_valid, pair_level, pair_seq,
+                                        pair_seq, pair_perc)
     dup_id = 1 * (N_SEQ * N_SEQ) + 3 * N_SEQ + 3
     other_id = 2 * (N_SEQ * N_SEQ) + 4 * N_SEQ + 4
     assert bool(taken[0, dup_id]) and bool(taken[0, other_id])
