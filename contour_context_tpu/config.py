@@ -202,6 +202,14 @@ class ContourDBConfig:
                                   # at 131k scans: cover 11.8 ms vs block
                                   # 17.3 ms/query (pre-layout-fix numbers,
                                   # db._topk_min / PARITY.md)
+    cascade_chunk: int = 128      # check-cascade chunk width W: the cascade
+                                  # compiles ONCE at width W and runs over
+                                  # ceil(n_valid/W) chunks (result-identical
+                                  # — per-hint independent ops), so cost
+                                  # tracks the live hint count instead of
+                                  # the flat max_check_cands pad; KITTI-like
+                                  # streams average ~18 hits/scan vs the 512
+                                  # cap (db._cascade_chunked). 0 = unchunked.
 
     def __post_init__(self):
         # check-3 stats tables cover the DIST_BIN_LAYERS levels only; an

@@ -35,6 +35,7 @@ from typing import List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from contour_context_tpu.config import (
     DIST_BIN_LAYERS,
@@ -445,6 +446,63 @@ def _gather_and_cascade(store: ScanDesc, query: ScanDesc,
                                     seq_tgt, hint_valid, thres_lb, cont_sim)
 
 
+def _cascade_chunked(store: ScanDesc, query: ScanDesc, gidx, level, seq_src,
+                     seq_tgt, hv, n_valid, thres_lb, cont_sim, chunk: int):
+    """Chunked check cascade: ONE compiled cascade at width W, applied to
+    ceil(n_valid / W) chunks of the compacted hint rows by a dynamic-trip
+    while_loop.
+
+    Every op in run_cascade is independent per hint row, so partitioning the
+    rows into chunks returns bit-identical per-hint results; _select_hints
+    orders the n_valid selected rows first, so only the first ceil(n_valid/W)
+    chunks contain live hints. Unprocessed rows keep zeros, which downstream
+    already treats as non-hints (pass* False, pair_valid False) — identical
+    to what the cascade itself computes for hv=False rows.
+
+    Why this shape: the cascade's cost is flat in its padded hint axis, and
+    KITTI-like streams average ~18 valid hits/scan against the 512-row
+    max_check_cands pad (the r2 on-chip profile paid 2.75 ms/scan for the
+    full-width cascade); the synthetic bench world runs ~50-270. Chunking
+    makes the cost proportional to ceil(n_valid/W) while compiling the
+    cascade body ONCE at width W — a 4-8x smaller graph than the r2
+    full-width compile, which also cuts every query graph's compile time.
+
+    The last chunk's start is clamped (dynamic_slice semantics), so chunks
+    may overlap when W does not divide HC — overlapping rows are simply
+    recomputed with identical results before being rewritten.
+    """
+    HC = gidx.shape[0]
+    W = min(chunk, HC) if chunk > 0 else HC
+    if W >= HC:
+        return _gather_and_cascade_impl(store, query, gidx, level, seq_src,
+                                        seq_tgt, hv, thres_lb, cont_sim)
+    n_chunks = -(-HC // W)
+
+    def run_chunk(start):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, start, W, axis=0)
+        return _gather_and_cascade_impl(
+            store, query, sl(gidx), sl(level), sl(seq_src), sl(seq_tgt),
+            sl(hv), thres_lb, cont_sim)
+
+    shapes = jax.eval_shape(run_chunk, jnp.int32(0))
+    out0 = jax.tree.map(
+        lambda s: jnp.zeros((HC,) + s.shape[1:], s.dtype), shapes)
+    nc = jnp.minimum((n_valid + (W - 1)) // W, n_chunks)
+
+    def body(carry):
+        i, out = carry
+        start = jnp.minimum(i * W, HC - W)
+        r = run_chunk(start)
+        out = jax.tree.map(
+            lambda o, x: lax.dynamic_update_slice_in_dim(o, x, start, axis=0),
+            out, r)
+        return i + 1, out
+
+    _, out = lax.while_loop(lambda c: c[0] < nc, body,
+                            (jnp.int32(0), out0))
+    return out
+
+
 def _gather_gmm_impl(store: ScanDesc, gidx, levels: Tuple[int, ...],
                      max_k: int) -> GmmScan:
     lv = jnp.array(levels, jnp.int32)
@@ -560,9 +618,10 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     perm, hv, n_valid, overflow_hints = _select_hints(
         valid_f, dist.reshape(-1), HC)
 
-    res = _gather_and_cascade_impl(
+    res = _cascade_chunked(
         store, query, gidx_f[perm], level_f[perm], seq_src_f[perm],
-        seq_tgt_f[perm], hv, cfg.thres_lb, cfg.db.cont_sim)
+        seq_tgt_f[perm], hv, n_valid, cfg.thres_lb, cfg.db.cont_sim,
+        cfg.db.cascade_chunk)
 
     if cfg.db.dynamic_thres:
         # DYNAMIC_THRES=1: sequential re-gating with rising bars
@@ -635,12 +694,12 @@ def _query_step(store: ScanDesc, query: ScanDesc, state,
     return _query_step_impl(store, query, state[1], pcfg, keys_q)
 
 
-def _scan_step_impl(store: ScanDesc, keys_q, ts_store, state, recs_store,
-                    points, ts, pcfg: PipelineConfig):
-    """Body of the fused per-scan streaming step (see _scan_step)."""
-    from contour_context_tpu.ops.descriptor import build_descriptor
-
-    desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
+def _desc_step_impl(store: ScanDesc, keys_q, ts_store, state, recs_store,
+                    desc: ScanDesc, ts, pcfg: PipelineConfig):
+    """query -> record-ring write -> append -> window update for ONE
+    already-built descriptor (the sequential tail of _scan_step_impl; the
+    chain paths prebuild descriptors in vmapped sub-batches and feed them
+    here one by one)."""
     rec = _query_step_impl(store, desc, state[1], pcfg, keys_q)
     recs_store = jax.lax.dynamic_update_slice(
         recs_store, rec[None].astype(recs_store.dtype), (state[0], 0))
@@ -650,6 +709,16 @@ def _scan_step_impl(store: ScanDesc, keys_q, ts_store, state, recs_store,
     state = _update_window_impl(state, ts_store, ts, tb.min_elapse,
                                 tb.max_elapse)
     return store, keys_q, ts_store, state, recs_store, rec
+
+
+def _scan_step_impl(store: ScanDesc, keys_q, ts_store, state, recs_store,
+                    points, ts, pcfg: PipelineConfig):
+    """Body of the fused per-scan streaming step (see _scan_step)."""
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    desc = build_descriptor(points, pcfg.cm, pcfg.gmm)
+    return _desc_step_impl(store, keys_q, ts_store, state, recs_store,
+                           desc, ts, pcfg)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
@@ -694,17 +763,49 @@ def _step_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
     + sync overhead of a single call, so differencing two K values isolates
     pure device time (bench.py headline).
 
+    Descriptor builds are hoisted OUT of the sequential scan and vmapped in
+    sub-batches of DESC_BATCH scans (the build depends only on the points,
+    never on DB state, so batching is exact): one batched sort/scan pipeline
+    per 16 scans replaces 16 small ones, amortizing per-op overhead — the
+    descriptor stage was ~3.4 ms/scan of serialized small kernels on the
+    v5e (scripts/desc_latency_bench.py, 2026-08-19). The query/append scan
+    below stays strictly sequential and bit-identical.
+
     Returns (store', keys_q', ts_store', state', recs_store', records (K, W)).
     """
+    descs = _build_descs_chunked(points_k, pcfg)
+
     def body(carry, x):
-        pts, t = x
-        store, keys_q, ts_store, state, recs_store, rec = _scan_step_impl(
-            *carry, pts, t, pcfg)
+        desc, t = x
+        store, keys_q, ts_store, state, recs_store, rec = _desc_step_impl(
+            *carry, desc, t, pcfg)
         return (store, keys_q, ts_store, state, recs_store), rec
 
     (store, keys_q, ts_store, state, recs_store), recs = jax.lax.scan(
-        body, (store, keys_q, ts_store, state, recs_store), (points_k, ts_k))
+        body, (store, keys_q, ts_store, state, recs_store), (descs, ts_k))
     return store, keys_q, ts_store, state, recs_store, recs
+
+
+DESC_BATCH = 16
+
+
+def _build_descs_chunked(points_k, pcfg: PipelineConfig) -> ScanDesc:
+    """vmap build_descriptor over K scans in sub-batches of DESC_BATCH.
+
+    Sub-batching (a traced Python loop over ceil(K/16) vmapped calls, last
+    chunk possibly narrower) bounds the batched component_tables membership
+    temporaries to ~0.5 GB instead of K/16 x that, while still giving every
+    sort/scan/reduce_window a batch axis. The stacked ScanDesc output is
+    small (~39 KB/scan)."""
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    K = points_k.shape[0]
+    build_b = jax.vmap(lambda p: build_descriptor(p, pcfg.cm, pcfg.gmm))
+    if K <= DESC_BATCH:
+        return build_b(points_k)
+    chunks = [build_b(points_k[i:i + DESC_BATCH])
+              for i in range(0, K, DESC_BATCH)]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
@@ -721,17 +822,45 @@ def _step_chain_dyn(store: ScanDesc, keys_q, ts_store, state, recs_store,
     state[0]..state[0]+k-1); the (K, W) stacked-records output of
     _step_chain is not produced.
 
+    Like _step_chain, descriptor builds are vmapped: a fori_loop over
+    k // DESC_BATCH full chunks (each chunk dynamic-slices 16 point rows,
+    builds their descriptors in one vmapped call, then replays 16 exact
+    sequential query/append steps), plus a per-scan tail loop for the
+    k % DESC_BATCH remainder. Builds happen for exactly the first k rows,
+    so chained-dispatch differencing at two k values attributes build cost
+    to precisely the scans between them (bench.py headline honesty).
+
     Returns (store', keys_q', ts_store', state', recs_store').
     """
-    def body(i, carry):
+    B = min(DESC_BATCH, int(points_k.shape[0]))
+
+    def chunk_body(c, carry):
+        store, keys_q, ts_store, state, recs_store = carry
+        pts_b = jax.lax.dynamic_slice_in_dim(points_k, c * B, B, axis=0)
+        ts_b = jax.lax.dynamic_slice_in_dim(ts_k, c * B, B, axis=0)
+        descs = _build_descs_chunked(pts_b, pcfg)
+
+        def body(carry2, x):
+            desc, t = x
+            out = _desc_step_impl(*carry2, desc, t, pcfg)
+            return out[:5], None
+
+        carry, _ = jax.lax.scan(
+            body, (store, keys_q, ts_store, state, recs_store), (descs, ts_b))
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0, k // B, chunk_body,
+        (store, keys_q, ts_store, state, recs_store))
+
+    def tail_body(i, carry):
         store, keys_q, ts_store, state, recs_store = carry
         pts = jax.lax.dynamic_index_in_dim(points_k, i, keepdims=False)
         store, keys_q, ts_store, state, recs_store, _rec = _scan_step_impl(
             store, keys_q, ts_store, state, recs_store, pts, ts_k[i], pcfg)
         return (store, keys_q, ts_store, state, recs_store)
 
-    return jax.lax.fori_loop(
-        0, k, body, (store, keys_q, ts_store, state, recs_store))
+    return jax.lax.fori_loop((k // B) * B, k, tail_body, carry)
 
 
 def _update_window_impl(state, ts_store, curr_ts, min_elapse, max_elapse):

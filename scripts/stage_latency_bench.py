@@ -48,7 +48,7 @@ def main():
 
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
     from contour_context_tpu.db import (
-        ContourDB, _append_impl, _gather_and_cascade_impl, _gather_gmm_impl,
+        ContourDB, _append_impl, _cascade_chunked, _gather_gmm_impl,
         _search_impl, _select_hints, _update_window_impl)
     from contour_context_tpu.ops.candidate import (merge_proposals,
                                                    tidy_candidates)
@@ -144,9 +144,10 @@ def main():
             valid.reshape(-1), dist.reshape(-1), HC)
         if depth == "hints":
             return perm.sum() + n_valid
-        res = _gather_and_cascade_impl(
+        res = _cascade_chunked(
             store, q, gidx_f[perm], level_f[perm], seq_src_f[perm],
-            seq_tgt_f[perm], hv, cfg.thres_lb, cfg.db.cont_sim)
+            seq_tgt_f[perm], hv, n_valid, cfg.thres_lb, cfg.db.cont_sim,
+            cfg.db.cascade_chunk)
         if depth == "cascade":
             return (res.T_delta.sum() + res.pass3.sum()
                     + res.pair_area_perc.sum())
