@@ -163,6 +163,11 @@ def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
     segs = {}
     for axis in (1, 2):
         b32 = brk.astype(jnp.int32)
+        # fwd and rev scans stay SEPARATE (reverse=True): stacking them on a
+        # leading axis-of-2 with pre-flipped data halves the scan launches
+        # but the flip/stack data movement costs more than it saves —
+        # measured +1.4 ms/scan on the v5e (scripts/cc_variants_bench.py,
+        # 2026-08-19: r2loop 2.83 vs pack2 4.27 ms incl. raster prefix)
         segs[axis] = (
             jnp.cumsum(b32, axis=axis) << 15,
             jnp.flip(jnp.cumsum(jnp.flip(b32, axis=axis), axis=axis),
@@ -197,19 +202,31 @@ def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
         new = jnp.where(masks, run_min(new, 2), S)
         return jnp.where(masks, run_min(new, 1), S)
 
+    # Static unroll + fixpoint tail: on KITTI-scale BEVs the fixpoint lands
+    # within 2-3 propagates and is verified by the 3rd-4th (measured over
+    # synth renders, 2026-08-19: seq row-then-col flush converges incl.
+    # verify in mean 3.3 / max 4 propagates). Unrolling 4 propagates and
+    # seeding the while_loop with the (p3 != p4) convergence bit removes the
+    # per-iteration device-side convergence reduction for ~all scans — the
+    # loop body never runs unless the scan genuinely needs a 5th round.
+    # Labels only decrease toward the component min, so extra propagates
+    # never change the fixpoint (exactness is iteration-count independent).
+    # A/B on the chip (scripts/cc_variants_bench.py, 2026-08-19, constant
+    # raster prefix included): 4-unroll 1.91 ms < 3-unroll 2.10 < r2's
+    # 2-props-per-iteration while_loop 2.78.
+    p = [labels0]
+    for _ in range(4):
+        p.append(propagate(p[-1]))
+
     def body(state):
         lab, _ = state
-        # two propagation rounds per fixpoint check: labels only decrease
-        # toward the component min, so extra rounds are always safe — this
-        # halves the while_loop iterations (each iteration is a device-side
-        # sync on the convergence reduction)
-        new = propagate(propagate(lab))
+        new = propagate(lab)
         return new, jnp.any(new != lab)
 
     def cond(state):
         return state[1]
 
-    labels, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    labels, _ = lax.while_loop(cond, body, (p[-1], jnp.any(p[-1] != p[-2])))
     return labels.reshape(L, S)
 
 

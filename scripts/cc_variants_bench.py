@@ -1,0 +1,201 @@
+"""On-chip A/B of cc_labels loop strategies (desc_latency_bench 2026-08-19
+showed the r3 static-unroll REGRESSED the cc stage 1.93 -> 2.97 ms, so the
+choice must be measured, not reasoned).
+
+Variants (all produce identical labels — the fixpoint is iteration-count
+independent; asserted here before timing):
+  r2loop    while_loop from labels0, 2 propagates / iteration (r2 committed)
+  pack2     r2loop control flow + packed fwd/rev stacked scans
+  unroll3   3 static propagates + 1-propagate while tail (r3 tree state)
+  unroll4   4 static propagates + 1-propagate while tail
+  u2loop2   2 static propagates + 2-propagate while tail
+
+Run on the real chip:
+    timeout 900 python scripts/cc_variants_bench.py > /tmp/cc_var.log 2>&1
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=21)
+    ap.add_argument("--parity-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from synth import make_world, render_scan
+
+    from contour_context_tpu.config import ContourManagerConfig
+    from contour_context_tpu.ops.descriptor import rasterize_bev
+    from contour_context_tpu.utils.io import pad_points
+
+    cm = ContourManagerConfig()
+    world = make_world(1, n_structs=300, extent=400.0)
+    pts_np = pad_points(render_scan(world, (40.0, 2.0, 0.3), seed=7),
+                        cm.max_points)
+    pts0 = jax.device_put(jnp.asarray(pts_np))
+    K = args.chain
+
+    def cc(masks, variant: str):
+        L, nr, nc = masks.shape
+        S = nr * nc
+        lin = jnp.arange(S, dtype=jnp.int32).reshape(nr, nc)
+        labels0 = jnp.where(masks, lin[None], S)
+        brk = ~masks
+        MAXV = (1 << 15) - 1
+        packed_scans = variant in ("pack2", "unroll3", "unroll4", "u2loop2")
+
+        segs = {}
+        for axis in (1, 2):
+            b32 = brk.astype(jnp.int32)
+            seg_f = jnp.cumsum(b32, axis=axis) << 15
+            seg_r = jnp.flip(jnp.cumsum(jnp.flip(b32, axis=axis), axis=axis),
+                             axis=axis) << 15
+            if packed_scans:
+                segs[axis] = jnp.stack([seg_f, jnp.flip(seg_r, axis=axis)])
+            else:
+                segs[axis] = (seg_f, seg_r)
+
+        def run_min(lab, axis):
+            neg = MAXV - lab
+            if packed_scans:
+                packed = segs[axis] | jnp.stack(
+                    [neg, jnp.flip(neg, axis=axis)])
+                rm = lax.associative_scan(jnp.maximum, packed, axis=axis + 1)
+                m = jnp.maximum(rm[0], jnp.flip(rm[1], axis=axis)) & MAXV
+                return MAXV - m
+            seg_f, seg_r = segs[axis]
+            rm_f = lax.associative_scan(jnp.maximum, seg_f | neg, axis=axis)
+            rm_r = lax.associative_scan(jnp.maximum, seg_r | neg, axis=axis,
+                                        reverse=True)
+            return MAXV - (jnp.maximum(rm_f & MAXV, rm_r & MAXV))
+
+        def propagate(lab):
+            neigh = lax.reduce_window(
+                lab, jnp.int32(S), lax.min,
+                window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+                padding="SAME")
+            new = jnp.where(masks, jnp.minimum(lab, neigh), S)
+            new = jnp.where(masks, run_min(new, 2), S)
+            return jnp.where(masks, run_min(new, 1), S)
+
+        if variant in ("uroll3", "uroll4"):   # UNPACKED scans + static unroll
+            n = 3 if variant == "uroll3" else 4
+            ps = [labels0]
+            for _ in range(n):
+                ps.append(propagate(ps[-1]))
+
+            def body(state):
+                lab, _ = state
+                new = propagate(lab)
+                return new, jnp.any(new != lab)
+
+            labels, _ = lax.while_loop(
+                lambda s: s[1], body, (ps[-1], jnp.any(ps[-1] != ps[-2])))
+        elif variant in ("r2loop", "pack2"):
+            def body(state):
+                lab, _ = state
+                new = propagate(propagate(lab))
+                return new, jnp.any(new != lab)
+
+            labels, _ = lax.while_loop(lambda s: s[1], body,
+                                       (labels0, jnp.bool_(True)))
+        elif variant in ("unroll3", "unroll4"):
+            n = 3 if variant == "unroll3" else 4
+            ps = [labels0]
+            for _ in range(n):
+                ps.append(propagate(ps[-1]))
+
+            def body(state):
+                lab, _ = state
+                new = propagate(lab)
+                return new, jnp.any(new != lab)
+
+            labels, _ = lax.while_loop(
+                lambda s: s[1], body, (ps[-1], jnp.any(ps[-1] != ps[-2])))
+        elif variant == "u2loop2":
+            p1 = propagate(labels0)
+            p2 = propagate(p1)
+
+            def body(state):
+                lab, _ = state
+                new = propagate(propagate(lab))
+                return new, jnp.any(new != lab)
+
+            labels, _ = lax.while_loop(lambda s: s[1], body,
+                                       (p2, jnp.any(p2 != p1)))
+        else:
+            raise ValueError(variant)
+        return labels.reshape(L, S)
+
+    nr, nc = cm.n_row, cm.n_col
+    grads = jnp.array(cm.lv_grads, jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("variant", "n_iter"))
+    def chained(points, n_iter, variant):
+        def body(p, _):
+            bev, _rf, _cf = rasterize_bev(p, cm)
+            masks = (bev.reshape(nr, nc)[None] > grads[:, None, None])
+            lab = cc(masks, variant)
+            s = lab.sum().astype(jnp.float32)
+            return p * (1.0 + 1e-30 * s).astype(p.dtype), s
+        p, ss = jax.lax.scan(body, points, None, length=n_iter)
+        return ss[-1]
+
+    t0 = time.time()
+    _ = jax.device_get(jnp.zeros(4) + 1)
+    print(f"mode switch paid ({time.time() - t0:.0f} s)", flush=True)
+
+    variants = ("r2loop", "uroll3", "uroll4")
+    # parity first (cheap: single dispatch each)
+    ref = None
+    for v in variants:
+        lab = jax.device_get(chained(pts0, 1, v))
+        if ref is None:
+            ref = lab
+        else:
+            assert lab == ref, (v, lab, ref)
+    print("label-sum parity OK", flush=True)
+    if args.parity_only:
+        print("DONE", flush=True)
+        return
+
+    def timed(v, n):
+        r = chained(pts0, n, v)
+        jax.device_get(r)
+        ts_ = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = chained(pts0, n, v)
+            jax.device_get(r)
+            ts_.append(time.perf_counter() - t0)
+        return min(ts_)
+
+    for v in variants:
+        t1 = timed(v, 1)
+        tK = timed(v, K)
+        ms = (tK - t1) / (K - 1) * 1e3
+        print(f"cc[{v}]: {ms:.3f} ms  (t1={t1*1e3:.1f}, tK={tK*1e3:.1f})",
+              flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

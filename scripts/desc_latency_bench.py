@@ -27,6 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=21)
     ap.add_argument("--max-points", type=int, default=131072)
+    ap.add_argument("--micro-only", action="store_true",
+                    help="skip the cumulative depth series; run only the isolated micro-splits")
     args = ap.parse_args()
     K = args.chain
 
@@ -112,7 +114,8 @@ def main():
         return ss[-1]
 
     prev = 0.0
-    for depth in ("raster", "masks", "cc", "tables", "keys", "full"):
+    for depth in (() if args.micro_only else
+                  ("raster", "masks", "cc", "tables", "keys", "full")):
         def f(points, n_iter, d=depth):
             return chained_depth(points, n_iter, d)
         ms = per_op(f"desc depth={depth}", f, pts0)
@@ -190,6 +193,91 @@ def main():
 
     per_op("tables/count seg-sum scatter only", chained_cnt_scatter,
            labels, masks_flat)
+
+    # ---- component_tables micro-splits (isolated pieces, not cumulative:
+    # each times ONE internal block of descriptor.component_tables on
+    # pre-staged inputs, so the splits attribute its stage delta) ----------
+    L = cm.n_levels
+    K_top = cm.max_contours
+    iota_s = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (L, S))
+
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def chained_sort_runlen(lab, mf, n_iter):
+        def body(c, _):
+            sl, pos = jax.lax.sort((lab + c, iota_s), dimension=1, num_keys=1)
+            rs = jnp.concatenate(
+                [jnp.ones((L, 1), bool), sl[:, 1:] != sl[:, :-1]], axis=1)
+            spos = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(rs, iota_s, -1), axis=1)
+            ns = jax.lax.associative_scan(
+                jnp.minimum, jnp.where(rs, iota_s, S), axis=1, reverse=True)
+            nxt = jnp.concatenate([ns[:, 1:], jnp.full((L, 1), S, jnp.int32)],
+                                  axis=1)
+            cnt_sorted = nxt - spos
+            _, cnt_pix = jax.lax.sort((pos, cnt_sorted), dimension=1,
+                                      num_keys=1)
+            return c + (cnt_pix.sum() % 2).astype(jnp.int32), None
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n_iter)
+        return c
+
+    per_op("tables/sort+runlen (2 sorts + 2 scans)", chained_sort_runlen,
+           labels, masks_flat)
+
+    # stage rep/sel inputs once (host-free: jitted producers)
+    tab = jax.jit(lambda lb, mf: component_tables(lb, mf, bev, rowf, colf,
+                                                  cm))(labels, masks_flat)
+    rep_idx = jnp.argsort(jnp.where(tab["valid"], 0, 1), axis=1)[:, :K_top]
+
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def chained_topk_argsort(lab, n_iter):
+        def body(c, _):
+            key = jnp.where(lab == iota_s, -(lab + c), 1)
+            order_k = jnp.argsort(key, axis=1, stable=True)[:, :K_top]
+            return c + (order_k.sum() % 2), None
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n_iter)
+        return c
+
+    per_op("tables/top-K stable argsort", chained_topk_argsort, labels)
+
+    rep = jax.device_put(jnp.where(
+        jnp.arange(K_top)[None] < 5, iota_s[:, :K_top], S))
+
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def chained_sel_einsum(lab, rp, n_iter):
+        ch1 = jnp.stack([rowf, colf, bev, bev * rowf, bev * colf])
+
+        def body(c, _):
+            sel = (lab[:, None, :] == jnp.minimum(rp + c, S - 1)[:, :, None]) \
+                & (rp[:, :, None] < S)
+            sums = jnp.einsum("lks,cs->lkc", sel.astype(jnp.float32), ch1,
+                              precision=jax.lax.Precision.HIGHEST)
+            return c + (sums[..., 0].sum().astype(jnp.int32) % 2), None
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n_iter)
+        return c
+
+    per_op("tables/sel+einsum (first moments)", chained_sel_einsum,
+           labels, rep)
+
+    mean_r = jax.device_put(tab["mean"][..., 0])
+    mean_c = jax.device_put(tab["mean"][..., 1])
+
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def chained_second_pass(lab, rp, mr, mc, n_iter):
+        def body(c, _):
+            sel = (lab[:, None, :] == jnp.minimum(rp, S - 1)[:, :, None]) \
+                & (rp[:, :, None] < S)
+            dr = jnp.where(sel, rowf[None, None, :] - (mr + c)[:, :, None],
+                           0.0)
+            dc = jnp.where(sel, colf[None, None, :] - mc[:, :, None], 0.0)
+            a = jnp.sum(dr * dr, axis=-1)
+            b = jnp.sum(dr * dc, axis=-1)
+            cc = jnp.sum(dc * dc, axis=-1)
+            return c + 1e-30 * (a.sum() + b.sum() + cc.sum()), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n_iter)
+        return c
+
+    per_op("tables/second pass (dr/dc reductions)", chained_second_pass,
+           labels, rep, mean_r, mean_c)
     print("DONE", flush=True)
 
 
