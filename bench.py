@@ -143,12 +143,12 @@ def main():
     # mode-switch stall — opt-in only, so it can never delay the headline
     run_enq = os.environ.get("CONT2_BENCH_ENQUEUE", "0") == "1"
 
-    # capacity: fill (132) + timing reps (3*(12+132)) + enqueue epoch (60,
-    # opt-in) + block16 phase (2 compiles 16+64, 3 reps each of 16+64 = 320)
-    # + slack — undercounting triggers a grow, which recompiles every graph
-    # mid-run
+    # capacity: fill (132) + timing reps (3*(12+132)) + scan cross-check
+    # (2*132) + enqueue epoch (60, opt-in) + block16 phase (2 compiles
+    # 16+64, 3 reps each of 16+64 = 320) + slack — undercounting triggers a
+    # grow, which recompiles every graph mid-run
     db = ContourDB(cfg, capacity=K_FILL + REPS * (K_SMALL + K_FILL)
-                   + (N_ENQ if run_enq else 0) + 320 + 8)
+                   + 2 * K_FILL + (N_ENQ if run_enq else 0) + 320 + 8)
 
     # out-and-back trajectory: steady-state phases retrace the outbound path,
     # so the measured stream includes genuine loop closures (full branch)
@@ -166,8 +166,11 @@ def main():
 
     # EVERYTHING (compile + fill included) counts against the budget; the
     # headline is printed the moment it exists so a driver timeout during any
-    # later phase can never lose it (BENCH_r01 failure mode).
-    budget_s = float(os.environ.get("CONT2_BENCH_BUDGET", "300"))
+    # later phase can never lose it (BENCH_r01 failure mode). 520 s default:
+    # the r2 run took 452 s cold and the driver's observed tolerance is
+    # >= ~530 s; a warm persistent cache (~/.cache/jax survives across runs
+    # on one machine) brings it well under 300.
+    budget_s = float(os.environ.get("CONT2_BENCH_BUDGET", "520"))
 
     def in_budget(need=0.0):
         """True if `need` more seconds still fit. Each phase passes its own
@@ -284,6 +287,33 @@ def main():
 
     def rnd(v):
         return round(v, 3) if v is not None else None
+
+    # ---- dyn-vs-scan executable cross-check (r2 advisor): the headline
+    # times the runtime-trip-count fori/while variant (_step_chain_dyn);
+    # the production sequential API step_chain_async compiles a lax.scan
+    # with static K. Timing the scan executable at K_FILL under the same
+    # dispatch+fetch form bounds any loop-lowering delta between the two. --
+    dt_scan_chain_ms = None
+    if os.environ.get("CONT2_BENCH_SCANCHK", "1") == "1" and in_budget(100):
+        log("phase scan-executable cross-check (compiles _step_chain)")
+        plan = []
+        for _ in range(2):
+            base = take_ids(K_FILL)
+            plan.append((base, jax.device_put(
+                np.arange(base, base + K_FILL, dtype=np.float32))))
+        fetch1(plan[-1][1])     # sync the staged uploads out of the timing
+        best_scan = None
+        for base, ts_s in plan:
+            t0 = time.perf_counter()
+            h = db.step_chain_async(pts_fill,
+                                    list(range(base, base + K_FILL)), ts_s)
+            blk_handles.append(h)
+            fetch1(h.recs)
+            dt = time.perf_counter() - t0
+            best_scan = dt if best_scan is None else min(best_scan, dt)
+        dt_scan_chain_ms = best_scan * 1e3
+        log(f"scan chain({K_FILL}): {dt_scan_chain_ms:.1f} ms raw vs dyn "
+            f"t{K_FILL}={t_big * 1e3:.1f} ms")
 
     # ---- secondary phases (each budget-gated, honest chain timing).
     # Staging now happens post-switch: each staging step is a compile (remote,
@@ -423,6 +453,7 @@ def main():
     # below can only add the loop-count tail line).
     extended = dict(headline)
     extended.update({
+        "scan_chain132_raw_ms": rnd(dt_scan_chain_ms),
         "fused_stream_enqueue_ms": rnd(dt_enq_ms),
         "batched_block16_ms": rnd(dt_blk_ms),
         "query_8192scan_db_ms": rnd(dt_big[8192]),
@@ -434,11 +465,16 @@ def main():
         "budget_s": budget_s,
         "elapsed_s": round(time.perf_counter() - T0, 1),
         "note": "all *_ms are pure device time (chained-dispatch "
-                "differencing over a true fetch); fused_stream_enqueue_ms "
-                "is the host submission rate of the one-dispatch-per-scan "
-                "stream (the r1 methodology) — block_until_ready does not "
-                "reliably sync on this tunnel. null secondary = skipped by "
-                "CONT2_BENCH_BUDGET.",
+                "differencing over a true fetch); the headline chains run "
+                "the runtime-trip-count _step_chain_dyn executable "
+                "(fori/while lowering) — scan_chain132_raw_ms is the "
+                "production lax.scan executable (step_chain_async) at the "
+                "same chain length and measurement form, bounding any "
+                "loop-lowering delta (compare against chain_ms.t132). "
+                "fused_stream_enqueue_ms is the host submission rate of "
+                "the one-dispatch-per-scan stream (the r1 methodology) — "
+                "block_until_ready does not reliably sync on this tunnel. "
+                "null secondary = skipped by CONT2_BENCH_BUDGET.",
     })
     print(json.dumps(extended), flush=True)
 
@@ -450,11 +486,24 @@ def main():
     for h in blk_handles:
         results.extend(h.get())
     n_found = sum(1 for r in results if r is not None)
+    # workload-hardness stats: the reference's KITTI 08 run averages ~17.9
+    # KNN hits/scan (log/timing_cont2_paper.txt); this synthetic out-and-back
+    # world is denser — record it so the headline comparison is interpretable.
+    # n_hints is column 6 of the packed record ring (db._pack_record).
+    from contour_context_tpu.db import _device_fetch
+    hints = np.asarray(_device_fetch(db.recs_store[:db.n]))[:, 6]
+    hint_stats = None
+    if hints.size:
+        hint_stats = {"mean": round(float(hints.mean()), 1),
+                      "p50": float(np.percentile(hints, 50)),
+                      "p90": float(np.percentile(hints, 90)),
+                      "max": float(hints.max())}
 
     final = dict(extended)
     final.update({
         "scans": len(results),
         "loops_found": n_found,
+        "hints_per_scan": hint_stats,
         "elapsed_s": round(time.perf_counter() - T0, 1),
     })
     print(json.dumps(final), flush=True)
