@@ -143,23 +143,39 @@ def main():
     # mode-switch stall — opt-in only, so it can never delay the headline
     run_enq = os.environ.get("CONT2_BENCH_ENQUEUE", "0") == "1"
 
-    # capacity: fill (132) + timing reps (3*(12+132)) + scan cross-check
-    # (2*132) + enqueue epoch (60, opt-in) + block16 phase (2 compiles
-    # 16+64, 3 reps each of 16+64 = 320) + slack — undercounting triggers a
-    # grow, which recompiles every graph mid-run
-    db = ContourDB(cfg, capacity=K_FILL + REPS * (K_SMALL + K_FILL)
+    # capacity: fill (6 lanes x 132) + timing reps (3*(12+132)) + scan
+    # cross-check (2*132) + enqueue epoch (60, opt-in) + block16 phase
+    # (2 compiles 16+64, 3 reps each of 16+64 = 320) + slack — undercounting
+    # triggers a grow, which recompiles every graph mid-run
+    N_LANES = REPS * 2
+    db = ContourDB(cfg, capacity=N_LANES * K_FILL + REPS * (K_SMALL + K_FILL)
                    + 2 * K_FILL + (N_ENQ if run_enq else 0) + 320 + 8)
 
-    # out-and-back trajectory: steady-state phases retrace the outbound path,
-    # so the measured stream includes genuine loop closures (full branch)
-    n_out = K_FILL // 2
-    poses = [(4.0 * i, 0.5 * (i % 7), 0.05 * (i % 11)) for i in range(n_out)]
-    poses += [(4.0 * (2 * n_out - 2 - i), 0.8, 0.1)
-              for i in range(n_out, K_FILL)]
-    log(f"rendering {K_FILL} scans")
-    clouds = np.stack(
-        [pad_points(render_scan(world, p, seed=int(rng.integers(1 << 30))),
-                    cfg.cm.max_points) for p in poses])
+    # KITTI-density workload geometry (r3): six parallel one-way LANES of 132
+    # scans (4 m spacing, ~528 m each, 120 m lane separation so lanes never
+    # match each other), all driven once as the fill. Each timing epoch then
+    # re-drives ONE lane at a 1.5 m lateral offset with fresh sensor noise —
+    # every timed scan closes a loop against exactly ONE prior pass, the
+    # revisit pattern of a real KITTI 08 drive (~17.9 KNN hits/scan,
+    # log/timing_cont2_paper.txt). The r2 bench re-streamed the SAME
+    # out-and-back clouds for every epoch, stacking matches epoch over epoch
+    # (p50 600 hints/scan by the last rep, BENCH r3 interim run) — a 30x
+    # denser cascade load than the workload the 11.0 ms baseline is quoted
+    # on. Store: 6*132 fill + 432 timed = K08-order searchable window.
+    def lane_poses(lane, dy=0.0):
+        y0 = -300.0 + 120.0 * lane + dy
+        return [(-264.0 + 4.0 * i, y0 + 0.5 * (i % 7), 0.05 * (i % 11))
+                for i in range(K_FILL)]
+
+    def render_lane(lane, dy=0.0):
+        return np.stack([
+            pad_points(render_scan(world, p, seed=int(rng.integers(1 << 30))),
+                       cfg.cm.max_points) for p in lane_poses(lane, dy)])
+
+    log(f"rendering {N_LANES} fill lanes + {N_LANES} offset epochs "
+        f"({2 * N_LANES * K_FILL} scans)")
+    clouds_fill = [render_lane(s) for s in range(N_LANES)]
+    clouds_epoch = [render_lane(s, dy=1.5) for s in range(N_LANES)]
 
     handles = []
     blk_handles = []
@@ -195,18 +211,27 @@ def main():
         from contour_context_tpu.db import _device_fetch
         return _device_fetch(x.ravel()[:1])
 
-    # ---- phase 0: fill via ONE chained dispatch. _step_chain_dyn takes the
-    # chain length as a RUNTIME scalar (fori_loop), so this single compile
-    # also serves both headline chain lengths — nothing else needs to
-    # compile before the headline exists. -------------------------------------
-    log(f"fill: step_chain_dyn({K_FILL}) (the ONE pre-headline compile)")
-    base = take_ids(K_FILL)
-    pts_fill = jax.device_put(clouds)
-    ts_fill = jax.device_put(np.arange(base, base + K_FILL, dtype=np.float32))
-    h = db.step_chain_dyn_async(pts_fill, list(range(base, base + K_FILL)),
-                                ts_fill)
-    blk_handles.append(h)
-    jax.block_until_ready(h.recs)
+    # ---- phase 0: fill via chained dispatches over ONE (K_FILL, ...)-shaped
+    # buffer per lane. _step_chain_dyn takes the chain length as a RUNTIME
+    # scalar (fori_loop), so this single compile serves the fill AND both
+    # headline chain lengths — nothing else needs to compile before the
+    # headline exists. -------------------------------------------------------
+    log(f"fill: {N_LANES} x step_chain_dyn({K_FILL}) "
+        f"(the ONE pre-headline compile)")
+    for s in range(N_LANES):
+        base = take_ids(K_FILL)
+        ts_fill = jax.device_put(
+            np.arange(base, base + K_FILL, dtype=np.float32))
+        h = db.step_chain_dyn_async(
+            jax.device_put(clouds_fill[s]),
+            list(range(base, base + K_FILL)), ts_fill)
+        blk_handles.append(h)
+        jax.block_until_ready(h.recs)
+    n_fill_rows = db.n
+    # timing-epoch buffers stay resident (one per lane; the k=12 chains use
+    # the first 12 rows of their lane's buffer)
+    pts_epoch = [jax.device_put(c) for c in clouds_epoch]
+    pts_fill = pts_epoch[-1]    # legacy name for the secondary phases
     log(f"fill done ({compile_counter.count} compiles so far)")
 
     # ---- optional pre-switch phase: legacy enqueue-side fused stream — the
@@ -231,14 +256,17 @@ def main():
         log(f"enqueue-side: {dt_enq_ms:.3f} ms/scan (submission rate)")
 
     # pre-stage the timing chains' ts uploads (uploads are cheap pre-switch,
-    # ~200 ms each post-switch — hoisting them out of the timed region)
-    chain_plan = [K_SMALL] * REPS + [K_FILL] * REPS
+    # ~200 ms each post-switch — hoisting them out of the timed region).
+    # Epochs interleave chain lengths across lanes (12@lane0, 132@lane1, ...)
+    # so neither length systematically sees different scenes.
+    chain_plan = [(K_SMALL, 2 * r) if j == 0 else (K_FILL, 2 * r + 1)
+                  for r in range(REPS) for j in range(2)]
     staged_ts = []
-    for k in chain_plan:
+    for k, lane in chain_plan:
         base = take_ids(k)
-        staged_ts.append((k, base, jax.device_put(
+        staged_ts.append((k, lane, base, jax.device_put(
             np.arange(base, base + K_FILL, dtype=np.float32))))
-    jax.block_until_ready([t for _, _, t in staged_ts])
+    jax.block_until_ready([t for _, _, _, t in staged_ts])
 
     # ---- the D2H mode switch: the first fetch permanently degrades the
     # process (every later dispatch ~40 ms host-side) — but every timed
@@ -255,10 +283,10 @@ def main():
     # (t_big - t_small)/(K_big - K_small) compares identical code and
     # cancels dispatch + fetch overhead exactly.
     best = {K_SMALL: None, K_FILL: None}
-    for k, base, ts_k in staged_ts:
+    for k, lane, base, ts_k in staged_ts:
         t0 = time.perf_counter()
-        h = db.step_chain_dyn_async(pts_fill, list(range(base, base + k)),
-                                    ts_k)
+        h = db.step_chain_dyn_async(pts_epoch[lane],
+                                    list(range(base, base + k)), ts_k)
         blk_handles.append(h)
         fetch1(h.recs)
         dt = time.perf_counter() - t0
@@ -271,10 +299,13 @@ def main():
 
     headline = {
         "metric": "per-scan end-to-end loop-closure DEVICE time "
-                  "(synthetic KITTI-scale scans, fused sequential stream: "
-                  "descriptor + query + append + window per scan; K steps "
-                  "chained in ONE dispatch, two chain lengths differenced "
-                  "over a true device fetch — enqueue-side effects cancel)",
+                  "(synthetic KITTI-scale scans at KITTI revisit density: "
+                  "every timed scan closes a loop against ONE prior pass of "
+                  "its lane, ~K08-sized searchable store; fused sequential "
+                  "stream: descriptor + query + append + window per scan; K "
+                  "steps chained in ONE dispatch, two chain lengths "
+                  "differenced over a true device fetch — enqueue-side "
+                  "effects cancel)",
         "value": round(dt_fused_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / dt_fused_ms, 3),
@@ -288,32 +319,44 @@ def main():
     def rnd(v):
         return round(v, 3) if v is not None else None
 
-    # ---- dyn-vs-scan executable cross-check (r2 advisor): the headline
-    # times the runtime-trip-count fori/while variant (_step_chain_dyn);
-    # the production sequential API step_chain_async compiles a lax.scan
-    # with static K. Timing the scan executable at K_FILL under the same
-    # dispatch+fetch form bounds any loop-lowering delta between the two. --
+    # ---- incremental extended line: re-emitted after EVERY completed
+    # secondary phase, so whatever the driver's kill tolerance, the LAST
+    # printed JSON line carries every phase that finished (the r2 run lost
+    # all secondaries to a budget overrun even though some could have fit).
     dt_scan_chain_ms = None
-    if os.environ.get("CONT2_BENCH_SCANCHK", "1") == "1" and in_budget(100):
-        log("phase scan-executable cross-check (compiles _step_chain)")
-        plan = []
-        for _ in range(2):
-            base = take_ids(K_FILL)
-            plan.append((base, jax.device_put(
-                np.arange(base, base + K_FILL, dtype=np.float32))))
-        fetch1(plan[-1][1])     # sync the staged uploads out of the timing
-        best_scan = None
-        for base, ts_s in plan:
-            t0 = time.perf_counter()
-            h = db.step_chain_async(pts_fill,
-                                    list(range(base, base + K_FILL)), ts_s)
-            blk_handles.append(h)
-            fetch1(h.recs)
-            dt = time.perf_counter() - t0
-            best_scan = dt if best_scan is None else min(best_scan, dt)
-        dt_scan_chain_ms = best_scan * 1e3
-        log(f"scan chain({K_FILL}): {dt_scan_chain_ms:.1f} ms raw vs dyn "
-            f"t{K_FILL}={t_big * 1e3:.1f} ms")
+    dt_blk_ms = None
+    dt_big = {8192: None, 32768: None, 131072: None}
+    dt_loc_ms = {32768: None, 131072: None}
+
+    def emit_extended():
+        extended = dict(headline)
+        extended.update({
+            "scan_chain132_raw_ms": rnd(dt_scan_chain_ms),
+            "fused_stream_enqueue_ms": rnd(dt_enq_ms),
+            "batched_block16_ms": rnd(dt_blk_ms),
+            "query_8192scan_db_ms": rnd(dt_big[8192]),
+            "query_32768scan_db_ms": rnd(dt_big[32768]),
+            "query_131072scan_db_ms": rnd(dt_big[131072]),
+            "localize_block16_vs_32768map_ms": rnd(dt_loc_ms[32768]),
+            "localize_block16_vs_131072map_ms": rnd(dt_loc_ms[131072]),
+            "n_compiles": compile_counter.count,
+            "budget_s": budget_s,
+            "elapsed_s": round(time.perf_counter() - T0, 1),
+            "note": "all *_ms are pure device time (chained-dispatch "
+                    "differencing over a true fetch); the headline chains "
+                    "run the runtime-trip-count _step_chain_dyn executable "
+                    "(fori/while lowering) — scan_chain132_raw_ms is the "
+                    "production lax.scan executable (step_chain_async) at "
+                    "the same chain length and measurement form, bounding "
+                    "any loop-lowering delta (compare against "
+                    "chain_ms.t132). fused_stream_enqueue_ms is the host "
+                    "submission rate of the one-dispatch-per-scan stream "
+                    "(the r1 methodology) — block_until_ready does not "
+                    "reliably sync on this tunnel. null secondary = "
+                    "skipped by CONT2_BENCH_BUDGET.",
+        })
+        print(json.dumps(extended), flush=True)
+        return extended
 
     # ---- secondary phases (each budget-gated, honest chain timing).
     # Staging now happens post-switch: each staging step is a compile (remote,
@@ -328,7 +371,7 @@ def main():
             jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
         descs_nb = jax.vmap(batch_build)(
             pts_fill[:NB_BIG * B_BLK].reshape((NB_BIG, B_BLK)
-                                              + clouds.shape[1:]))
+                                              + clouds_fill[0].shape[1:]))
         descs_1 = jax.tree.map(lambda a: a[:1], descs_nb)
         jax.block_until_ready(jax.tree.leaves(descs_nb)[0])
         blk_staged = (descs_nb, descs_1)
@@ -342,7 +385,6 @@ def main():
 
     # block-16 batched throughput: NB sequential blocks chained in one
     # dispatch; differencing NB=1 vs NB=4 isolates per-block device time
-    dt_blk_ms = None
     if blk_staged is not None and in_budget(60):
         log("phase block16")
         descs_nb, descs_1 = blk_staged
@@ -369,6 +411,7 @@ def main():
         t4 = time_blocks(descs_nb, NB_BIG)
         dt_blk_ms = (t4 - t1) / ((NB_BIG - 1) * B_BLK) * 1e3
         log(f"block16 device time: {dt_blk_ms:.3f} ms/scan")
+        emit_extended()
 
     # query latency against production-scale DBs (real scans tiled to fill
     # the store — honest for search/cascade scaling; contents repeat but
@@ -411,8 +454,6 @@ def main():
             ts[k] = best
         return (ts[k_big] - ts[k_small]) / (k_big - k_small) * 1e3
 
-    dt_big = {8192: None, 32768: None, 131072: None}
-    dt_loc_ms = {32768: None, 131072: None}
     n_have = db.n
     # worst-case COLD-cache compile at these shapes: ~40/70/190 s
     big_need = {8192: 60, 32768: 90, 131072: 150}
@@ -437,6 +478,7 @@ def main():
                                   big.state[1], K, cfg),
             2, 12)
         log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms")
+        emit_extended()
 
         # map-serving throughput: localize a block of B raw point clouds
         # against this frozen city-scale map, chained
@@ -447,36 +489,38 @@ def main():
                                          loc_pts, K, cfg), 1, 4)
             dt_loc_ms[n_db] = per_iter / B_BLK
             log(f"localize16 vs {n_db}: {dt_loc_ms[n_db]:.3f} ms/scan")
+            emit_extended()
         del big
 
-    # every timing metric is known — emit the extended line NOW (the drain
-    # below can only add the loop-count tail line).
-    extended = dict(headline)
-    extended.update({
-        "scan_chain132_raw_ms": rnd(dt_scan_chain_ms),
-        "fused_stream_enqueue_ms": rnd(dt_enq_ms),
-        "batched_block16_ms": rnd(dt_blk_ms),
-        "query_8192scan_db_ms": rnd(dt_big[8192]),
-        "query_32768scan_db_ms": rnd(dt_big[32768]),
-        "query_131072scan_db_ms": rnd(dt_big[131072]),
-        "localize_block16_vs_32768map_ms": rnd(dt_loc_ms[32768]),
-        "localize_block16_vs_131072map_ms": rnd(dt_loc_ms[131072]),
-        "n_compiles": compile_counter.count,
-        "budget_s": budget_s,
-        "elapsed_s": round(time.perf_counter() - T0, 1),
-        "note": "all *_ms are pure device time (chained-dispatch "
-                "differencing over a true fetch); the headline chains run "
-                "the runtime-trip-count _step_chain_dyn executable "
-                "(fori/while lowering) — scan_chain132_raw_ms is the "
-                "production lax.scan executable (step_chain_async) at the "
-                "same chain length and measurement form, bounding any "
-                "loop-lowering delta (compare against chain_ms.t132). "
-                "fused_stream_enqueue_ms is the host submission rate of "
-                "the one-dispatch-per-scan stream (the r1 methodology) — "
-                "block_until_ready does not reliably sync on this tunnel. "
-                "null secondary = skipped by CONT2_BENCH_BUDGET.",
-    })
-    print(json.dumps(extended), flush=True)
+    # ---- dyn-vs-scan executable cross-check (r2 advisor): the headline
+    # times the runtime-trip-count fori/while variant (_step_chain_dyn);
+    # the production sequential API step_chain_async compiles a lax.scan
+    # with static K. Timing the scan executable at K_FILL under the same
+    # dispatch+fetch form bounds any loop-lowering delta between the two.
+    # Runs LAST: it is a methodology bound, not a headline or capability
+    # metric, and its compile is the most expendable. ------------------------
+    if os.environ.get("CONT2_BENCH_SCANCHK", "1") == "1" and in_budget(160):
+        log("phase scan-executable cross-check (compiles _step_chain)")
+        plan = []
+        for _ in range(2):
+            base = take_ids(K_FILL)
+            plan.append((base, jax.device_put(
+                np.arange(base, base + K_FILL, dtype=np.float32))))
+        fetch1(plan[-1][1])     # sync the staged uploads out of the timing
+        best_scan = None
+        for base, ts_s in plan:
+            t0 = time.perf_counter()
+            h = db.step_chain_async(pts_epoch[0],
+                                    list(range(base, base + K_FILL)), ts_s)
+            blk_handles.append(h)
+            fetch1(h.recs)
+            dt = time.perf_counter() - t0
+            best_scan = dt if best_scan is None else min(best_scan, dt)
+        dt_scan_chain_ms = best_scan * 1e3
+        log(f"scan chain({K_FILL}): {dt_scan_chain_ms:.1f} ms raw vs dyn "
+            f"t{K_FILL}={t_big * 1e3:.1f} ms")
+
+    extended = emit_extended()
 
     # the stream's records live in the DB's device record ring: the whole
     # drain is ONE contiguous buffer copy (drain_handles fast path).
@@ -486,18 +530,22 @@ def main():
     for h in blk_handles:
         results.extend(h.get())
     n_found = sum(1 for r in results if r is not None)
-    # workload-hardness stats: the reference's KITTI 08 run averages ~17.9
-    # KNN hits/scan (log/timing_cont2_paper.txt); this synthetic out-and-back
-    # world is denser — record it so the headline comparison is interpretable.
-    # n_hints is column 6 of the packed record ring (db._pack_record).
+    # workload-density check: the reference's KITTI 08 run averages ~17.9
+    # KNN hits/scan (log/timing_cont2_paper.txt); the lane geometry above is
+    # built to land the TIMED scans in that regime — record the observed
+    # stats so the headline comparison is verifiable. n_hints is column 6 of
+    # the packed record ring (db._pack_record); rows past the fill are the
+    # timed/secondary stream.
     from contour_context_tpu.db import _device_fetch
     hints = np.asarray(_device_fetch(db.recs_store[:db.n]))[:, 6]
     hint_stats = None
-    if hints.size:
-        hint_stats = {"mean": round(float(hints.mean()), 1),
-                      "p50": float(np.percentile(hints, 50)),
-                      "p90": float(np.percentile(hints, 90)),
-                      "max": float(hints.max())}
+    if hints.size > n_fill_rows:
+        ht = hints[n_fill_rows:]
+        hint_stats = {"mean": round(float(ht.mean()), 1),
+                      "p50": float(np.percentile(ht, 50)),
+                      "p90": float(np.percentile(ht, 90)),
+                      "max": float(ht.max()),
+                      "fill_mean": round(float(hints[:n_fill_rows].mean()), 1)}
 
     final = dict(extended)
     final.update({
