@@ -138,9 +138,10 @@ def main():
     N_ENQ = 60       # enqueue-side legacy epoch length
     REPS = 3         # timing repetitions per chain length
 
-    # the enqueue-side legacy phase (r1 methodology) must run BEFORE the
-    # first fetch and each of its 60 dispatches inflates the later
-    # mode-switch stall — opt-in only, so it can never delay the headline
+    # enqueue-side legacy phase (r1 methodology), opt-in only. The mode
+    # switch is now paid up front, so this measures the DEGRADED-mode
+    # submission rate (~40 ms/dispatch floor) — kept only for r1
+    # comparability, never on the driver path.
     run_enq = os.environ.get("CONT2_BENCH_ENQUEUE", "0") == "1"
 
     # capacity: fill (6 lanes x 132) + timing reps (3*(12+132)) + scan
@@ -167,15 +168,79 @@ def main():
         return [(-264.0 + 4.0 * i, y0 + 0.5 * (i % 7), 0.05 * (i % 11))
                 for i in range(K_FILL)]
 
+    # compact transport: synthetic scans carry <=~10k real points, so host-
+    # padding to max_points ships (132, 131072, 4) buffers (~277 MB/lane,
+    # >90% sentinel rows) through the tunnel. Render/upload at a compact
+    # P_C and replicate pad_points' sentinel layout ON DEVICE (x=1e6,
+    # y=z=flag=0) — bitwise-identical full buffers for ~10% of the bytes.
+    P_C = 12288
+
     def render_lane(lane, dy=0.0):
-        return np.stack([
-            pad_points(render_scan(world, p, seed=int(rng.integers(1 << 30))),
-                       cfg.cm.max_points) for p in lane_poses(lane, dy)])
+        rows = []
+        for p in lane_poses(lane, dy):
+            pts = render_scan(world, p, seed=int(rng.integers(1 << 30)))
+            assert len(pts) <= P_C, f"compact pad too small: {len(pts)}"
+            rows.append(pad_points(pts, P_C))
+        return np.stack(rows)
+
+    @jax.jit
+    def devpad(c):
+        pad = jnp.zeros((c.shape[0], cfg.cm.max_points - P_C, 4), c.dtype)
+        pad = pad.at[:, :, 0].set(1e6)
+        return jnp.concatenate([c, pad], axis=1)
+
+    def fetch1(x):
+        """Sync point: fetch ONE element of a device array. _device_fetch
+        retries only transient FAILED_PRECONDITION tunnel errors, so a real
+        failure propagates instead of silently adding a retry to a timing."""
+        from contour_context_tpu.db import _device_fetch
+        return _device_fetch(x.ravel()[:1])
+
+    # ---- the D2H mode switch: the FIRST device->host fetch permanently
+    # degrades the process (every later dispatch ~40 ms host-side) AND itself
+    # stalls for a tunnel-state-dependent 7-330 s (observed range at identical
+    # dispatch counts). Every timed region below is ONE dispatch differenced
+    # against another, so the degraded dispatch cost cancels exactly — pay the
+    # stall NOW, in a background thread overlapped with the host-side numpy
+    # rendering (nothing else touches the tunnel until the join). -------------
+    switch_info = {}
+
+    def _pay_switch():
+        t0 = time.perf_counter()
+        fetch1(jnp.zeros(4) + 2.0)
+        switch_info["s"] = time.perf_counter() - t0
+
+    log("paying the first-fetch mode switch (overlapped with render)")
+    sw_th = threading.Thread(target=_pay_switch, daemon=True)
+    sw_th.start()
 
     log(f"rendering {N_LANES} fill lanes + {N_LANES} offset epochs "
         f"({2 * N_LANES * K_FILL} scans)")
     clouds_fill = [render_lane(s) for s in range(N_LANES)]
     clouds_epoch = [render_lane(s, dy=1.5) for s in range(N_LANES)]
+
+    sw_th.join(max(0.0, float(os.environ.get("CONT2_BENCH_BUDGET", "520"))
+                   - (time.perf_counter() - T0) - 90.0))
+    if "s" not in switch_info:
+        # tunnel wedged at the first fetch: emit a diagnostic line NOW so the
+        # driver captures evidence instead of timing out with zero output,
+        # then keep waiting — if the fetch lands late, the real headline
+        # supersedes this (the driver reads the LAST complete JSON line).
+        print(json.dumps({
+            "metric": "per-scan end-to-end loop-closure DEVICE time",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": "tunnel wedged at the first device->host fetch "
+                     f"({time.perf_counter() - T0:.0f}s elapsed); still "
+                     "waiting on the fetch",
+        }), flush=True)
+        sw_th.join()
+    log(f"mode switch paid ({switch_info['s']:.1f}s, "
+        "overlapped with render)")
+    # the switch stall is tunnel-state dead time (observed 7-479 s at
+    # identical dispatch counts), not benchmark work — extend the budget by
+    # the excess over a healthy-tunnel switch so a slow tunnel doesn't eat
+    # the secondary phases (the r2 failure mode, VERDICT r2 weak #1).
+    switch_excess_s = max(0.0, switch_info["s"] - 60.0)
 
     handles = []
     blk_handles = []
@@ -186,7 +251,8 @@ def main():
     # the r2 run took 452 s cold and the driver's observed tolerance is
     # >= ~530 s; a warm persistent cache (~/.cache/jax survives across runs
     # on one machine) brings it well under 300.
-    budget_s = float(os.environ.get("CONT2_BENCH_BUDGET", "520"))
+    budget_s = (float(os.environ.get("CONT2_BENCH_BUDGET", "520"))
+                + switch_excess_s)
 
     def in_budget(need=0.0):
         """True if `need` more seconds still fit. Each phase passes its own
@@ -204,13 +270,6 @@ def main():
         next_id[0] += k
         return s
 
-    def fetch1(x):
-        """Sync point: fetch ONE element of a device array. _device_fetch
-        retries only transient FAILED_PRECONDITION tunnel errors, so a real
-        failure propagates instead of silently adding a retry to a timing."""
-        from contour_context_tpu.db import _device_fetch
-        return _device_fetch(x.ravel()[:1])
-
     # ---- phase 0: fill via chained dispatches over ONE (K_FILL, ...)-shaped
     # buffer per lane. _step_chain_dyn takes the chain length as a RUNTIME
     # scalar (fori_loop), so this single compile serves the fill AND both
@@ -223,19 +282,19 @@ def main():
         ts_fill = jax.device_put(
             np.arange(base, base + K_FILL, dtype=np.float32))
         h = db.step_chain_dyn_async(
-            jax.device_put(clouds_fill[s]),
+            devpad(jax.device_put(clouds_fill[s])),
             list(range(base, base + K_FILL)), ts_fill)
         blk_handles.append(h)
         jax.block_until_ready(h.recs)
     n_fill_rows = db.n
     # timing-epoch buffers stay resident (one per lane; the k=12 chains use
     # the first 12 rows of their lane's buffer)
-    pts_epoch = [jax.device_put(c) for c in clouds_epoch]
+    pts_epoch = [devpad(jax.device_put(c)) for c in clouds_epoch]
     pts_fill = pts_epoch[-1]    # legacy name for the secondary phases
     log(f"fill done ({compile_counter.count} compiles so far)")
 
-    # ---- optional pre-switch phase: legacy enqueue-side fused stream — the
-    # r1 headline methodology, kept for comparability (CONT2_BENCH_ENQUEUE=1).
+    # ---- optional legacy enqueue-side fused stream — the r1 headline
+    # methodology, kept for comparability (CONT2_BENCH_ENQUEUE=1).
     # block_until_ready is NOT a reliable device sync on this tunnel, so this
     # is the HOST'S submission rate for the one-dispatch-per-scan stream. ----
     dt_enq_ms = None
@@ -255,8 +314,8 @@ def main():
         dt_enq_ms = (time.perf_counter() - t0) / (N_ENQ - 1) * 1e3
         log(f"enqueue-side: {dt_enq_ms:.3f} ms/scan (submission rate)")
 
-    # pre-stage the timing chains' ts uploads (uploads are cheap pre-switch,
-    # ~200 ms each post-switch — hoisting them out of the timed region).
+    # pre-stage the timing chains' ts uploads (~200 ms each in the post-
+    # switch degraded mode — hoisting them out of the timed region).
     # Epochs interleave chain lengths across lanes (12@lane0, 132@lane1, ...)
     # so neither length systematically sees different scenes.
     chain_plan = [(K_SMALL, 2 * r) if j == 0 else (K_FILL, 2 * r + 1)
@@ -267,15 +326,6 @@ def main():
         staged_ts.append((k, lane, base, jax.device_put(
             np.arange(base, base + K_FILL, dtype=np.float32))))
     jax.block_until_ready([t for _, _, _, t in staged_ts])
-
-    # ---- the D2H mode switch: the first fetch permanently degrades the
-    # process (every later dispatch ~40 ms host-side) — but every timed
-    # region below is ONE dispatch differenced against another, so the
-    # degraded dispatch cost cancels exactly. ---------------------------------
-    log("paying the first-fetch mode switch")
-    t0 = time.perf_counter()
-    fetch1(jnp.zeros(4) + 1.0)
-    log(f"mode switch paid ({time.perf_counter() - t0:.1f}s)")
 
     # ---- HEADLINE: honest per-scan device time of the fused sequential
     # stream. chain(k) runs k data-dependent fused steps in one dispatch —
@@ -299,9 +349,12 @@ def main():
 
     headline = {
         "metric": "per-scan end-to-end loop-closure DEVICE time "
-                  "(synthetic KITTI-scale scans at KITTI revisit density: "
+                  "(synthetic KITTI-scale scans, KITTI revisit geometry: "
                   "every timed scan closes a loop against ONE prior pass of "
-                  "its lane, ~K08-sized searchable store; fused sequential "
+                  "its lane, ~K08-sized searchable store; retrieval-hint "
+                  "density runs ABOVE the reference's ~17.9 hits/scan (see "
+                  "hints_per_scan in the final line) so the cascade load is "
+                  "conservative vs the 11 ms baseline; fused sequential "
                   "stream: descriptor + query + append + window per scan; K "
                   "steps chained in ONE dispatch, two chain lengths "
                   "differenced over a true device fetch — enqueue-side "
@@ -371,7 +424,7 @@ def main():
             jax.vmap(lambda p: build_descriptor(p, cfg.cm, cfg.gmm)))
         descs_nb = jax.vmap(batch_build)(
             pts_fill[:NB_BIG * B_BLK].reshape((NB_BIG, B_BLK)
-                                              + clouds_fill[0].shape[1:]))
+                                              + tuple(pts_fill.shape[1:])))
         descs_1 = jax.tree.map(lambda a: a[:1], descs_nb)
         jax.block_until_ready(jax.tree.leaves(descs_nb)[0])
         blk_staged = (descs_nb, descs_1)
@@ -455,42 +508,60 @@ def main():
         return (ts[k_big] - ts[k_small]) / (k_big - k_small) * 1e3
 
     n_have = db.n
+    # the timing-epoch point buffers (6 x (132, 131072, 4) f32 ~ 1.55 GiB)
+    # are dead weight past this point — only pts_epoch[0] feeds the final
+    # scan-executable cross-check. The 131072-scan store is 4.8 GiB and its
+    # query executable's transient input relayouts OOM'd a 16 GiB chip with
+    # everything resident (bench_r3e, 2026-08-19) — free the rest now.
+    import gc
+    del pts_fill
+    pts_epoch[1:] = []
+    clouds_fill = clouds_epoch = None
+    gc.collect()
     # worst-case COLD-cache compile at these shapes: ~40/70/190 s
     big_need = {8192: 60, 32768: 90, 131072: 150}
     for n_db in (8192, 32768, 131072) if qdesc is not None else ():
         if not in_budget(big_need[n_db]):
             break
         log(f"phase bigdb {n_db}")
-        big = ContourDB(cfg, capacity=n_db)
-        reps = -(-n_db // n_have)
-        big.store = jax.tree.map(
-            lambda a: jnp.tile(a[:n_have],
-                               (reps,) + (1,) * (a.ndim - 1))[:n_db],
-            db.store)
-        from contour_context_tpu.db import _keys_to_q_layout
-        big.keys_q = jax.jit(_keys_to_q_layout)(big.store.keys)
-        big.ts_store = jnp.arange(n_db, dtype=jnp.float32)
-        big.state = jnp.asarray([n_db, n_db - 32], jnp.int32)
-        big.n = n_db
-        big.seq_of_gidx = list(range(n_db))
-        dt_big[n_db] = timed_chain(
-            lambda K: query_chain(big.store, big.keys_q, qdesc,
-                                  big.state[1], K, cfg),
-            2, 12)
-        log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms")
-        emit_extended()
-
-        # map-serving throughput: localize a block of B raw point clouds
-        # against this frozen city-scale map, chained
-        if n_db in dt_loc_ms and in_budget(60 if n_db < 100000 else 100):
-            log(f"phase localize vs {n_db}")
-            per_iter = timed_chain(
-                lambda K: localize_chain(big.store, big.keys_q, big.state,
-                                         loc_pts, K, cfg), 1, 4)
-            dt_loc_ms[n_db] = per_iter / B_BLK
-            log(f"localize16 vs {n_db}: {dt_loc_ms[n_db]:.3f} ms/scan")
+        # each scale is crash-isolated: a device OOM at one scale (seen at
+        # 131072) must not lose the already-measured phases or the final
+        # extended line — log it, free the store, move on.
+        try:
+            big = ContourDB(cfg, capacity=n_db)
+            reps = -(-n_db // n_have)
+            big.store = jax.tree.map(
+                lambda a: jnp.tile(a[:n_have],
+                                   (reps,) + (1,) * (a.ndim - 1))[:n_db],
+                db.store)
+            from contour_context_tpu.db import _keys_to_q_layout
+            big.keys_q = jax.jit(_keys_to_q_layout)(big.store.keys)
+            big.ts_store = jnp.arange(n_db, dtype=jnp.float32)
+            big.state = jnp.asarray([n_db, n_db - 32], jnp.int32)
+            big.n = n_db
+            big.seq_of_gidx = list(range(n_db))
+            dt_big[n_db] = timed_chain(
+                lambda K: query_chain(big.store, big.keys_q, qdesc,
+                                      big.state[1], K, cfg),
+                2, 12)
+            log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms")
             emit_extended()
-        del big
+
+            # map-serving throughput: localize a block of B raw point clouds
+            # against this frozen city-scale map, chained
+            if n_db in dt_loc_ms and in_budget(60 if n_db < 100000 else 100):
+                log(f"phase localize vs {n_db}")
+                per_iter = timed_chain(
+                    lambda K: localize_chain(big.store, big.keys_q, big.state,
+                                             loc_pts, K, cfg), 1, 4)
+                dt_loc_ms[n_db] = per_iter / B_BLK
+                log(f"localize16 vs {n_db}: {dt_loc_ms[n_db]:.3f} ms/scan")
+                emit_extended()
+        except Exception as e:  # noqa: BLE001 — phase isolation by design
+            log(f"bigdb {n_db} FAILED: {type(e).__name__}: {str(e)[:300]}")
+        finally:
+            big = None
+            gc.collect()
 
     # ---- dyn-vs-scan executable cross-check (r2 advisor): the headline
     # times the runtime-trip-count fori/while variant (_step_chain_dyn);
