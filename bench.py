@@ -351,7 +351,11 @@ def main():
         "metric": "per-scan end-to-end loop-closure DEVICE time "
                   "(synthetic KITTI-scale scans, KITTI revisit geometry: "
                   "every timed scan closes a loop against ONE prior pass of "
-                  "its lane, ~K08-sized searchable store; retrieval-hint "
+                  "its lane; searchable store grows ~800->1200 scans across "
+                  "the timed epochs — store-size scaling is measured "
+                  "separately up to 131072 scans (query_*scan_db_ms), and "
+                  "the search stage is store-size-insensitive next to the "
+                  "cascade; retrieval-hint "
                   "density runs ABOVE the reference's ~17.9 hits/scan (see "
                   "hints_per_scan in the final line) so the cascade load is "
                   "conservative vs the 11 ms baseline; fused sequential "
