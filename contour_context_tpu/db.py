@@ -1613,6 +1613,14 @@ class ContourDB:
         self.n += K
         return BlockHandle(recs, self, row0=row0)
 
+    @staticmethod
+    def stage_chain_k(k: int):
+        """Pre-stage a chain length for `step_chain_dyn_async(k_dev=...)`:
+        returns `(k, device_int32(k))`. Paying the upload here (instead of
+        inside the call) keeps a post-first-fetch timing loop free of the
+        ~200 ms per-call host->device scalar cost."""
+        return int(k), jax.device_put(jnp.int32(int(k)))
+
     def step_chain_dyn_async(self, points_buf, seqs, ts_k,
                              k_dev=None) -> "BlockHandle":
         """step_chain_async with a DYNAMIC chain length (see _step_chain_dyn):
@@ -1621,12 +1629,20 @@ class ContourDB:
         reuses it, so repeated mixed-length chains (bench.py's differencing
         methodology) pay a single compile.
 
-        `k_dev` optionally passes the chain length as a PRE-STAGED device
-        int32 scalar (must equal len(seqs)): the default host-side
-        jnp.int32(K) is a fresh host->device upload per call, which costs
-        ~200 ms once the process is in post-first-fetch degraded mode (see
-        CLAUDE.md) — timing loops should stage their k scalars up front."""
+        `k_dev` optionally passes the chain length PRE-STAGED as a
+        `(host_int, device_int32_scalar)` pair (see `stage_chain_k`): the
+        default host-side jnp.int32(K) is a fresh host->device upload per
+        call, which costs ~200 ms once the process is in post-first-fetch
+        degraded mode (see CLAUDE.md) — timing loops should stage their k
+        scalars up front. The host half lets this call validate the staged
+        value against len(seqs) WITHOUT a device fetch (a mismatched device
+        scalar would silently desync device row writes from host
+        bookkeeping: self.n, seq_of_gidx, every later BlockHandle slice)."""
         K = int(len(seqs))
+        if k_dev is not None:
+            k_host, k_dev = k_dev
+            assert int(k_host) == K, \
+                f"staged k ({int(k_host)}) != len(seqs) ({K})"
         assert K <= int(points_buf.shape[0])
         ts_k = jnp.asarray(ts_k, jnp.float32)
         assert int(ts_k.shape[0]) == int(points_buf.shape[0]), \

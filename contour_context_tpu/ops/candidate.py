@@ -263,8 +263,14 @@ def merge_proposals(pass3, gidx, T_delta, pair_valid, pair_level,
     grp_end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
     sel_end = ((sk[None, :] == jnp.arange(NK, dtype=sk.dtype)[:, None])
                & grp_end[None, :]).astype(jnp.float32)      # (NK, MP)
-    taken_u = (sel_end @ t_scan.astype(jnp.float32)) > 0.5
-    perc_u = sel_end @ p_scan
+    # precision=HIGHEST: the one-hot matmul must be an exact copy of the
+    # selected row. TPU's default f32 matmul rounds operands through bf16,
+    # which would drift prop_perc ~0.4% off the host CandidateManager the
+    # parity chain pins (taken_u alone would survive via the 0.5 threshold).
+    taken_u = jnp.matmul(sel_end, t_scan.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST) > 0.5
+    perc_u = jnp.matmul(sel_end, p_scan,
+                        precision=jax.lax.Precision.HIGHEST)
     prop_taken = taken_u.reshape(C, P_PROP, NUM_SLOTS)
     prop_perc = perc_u.reshape(C, P_PROP, NUM_SLOTS)
 

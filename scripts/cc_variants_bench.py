@@ -29,6 +29,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=21)
     ap.add_argument("--parity-only", action="store_true")
+    ap.add_argument("--variants", default="r2loop,uroll3,uroll4",
+                    help="comma list from: r2loop pack2 unroll3 unroll4 "
+                         "u2loop2 uroll3 uroll4 (docstring names; the "
+                         "2026-08-19 record timed all of them)")
     args = ap.parse_args()
 
     import jax
@@ -159,20 +163,29 @@ def main():
         p, ss = jax.lax.scan(body, points, None, length=n_iter)
         return ss[-1]
 
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def full_labels(points, variant):
+        bev, _rf, _cf = rasterize_bev(points, cm)
+        masks = (bev.reshape(nr, nc)[None] > grads[:, None, None])
+        return cc(masks, variant)
+
     t0 = time.time()
     _ = jax.device_get(jnp.zeros(4) + 1)
     print(f"mode switch paid ({time.time() - t0:.0f} s)", flush=True)
 
-    variants = ("r2loop", "uroll3", "uroll4")
-    # parity first (cheap: single dispatch each)
+    variants = tuple(args.variants.split(","))
+    # parity first (cheap: single dispatch each). Full element-wise label
+    # compare — an int32 label SUM can wrap (L*S labels up to S ~ 3.0e9 >
+    # int32 max) and two different labelings could collide.
     ref = None
     for v in variants:
-        lab = jax.device_get(chained(pts0, 1, v))
+        lab = np.asarray(jax.device_get(full_labels(pts0, v)))
         if ref is None:
             ref = lab
         else:
-            assert lab == ref, (v, lab, ref)
-    print("label-sum parity OK", flush=True)
+            assert np.array_equal(lab, ref), \
+                (v, int((lab != ref).sum()), "label mismatch vs", variants[0])
+    print("label parity OK (element-wise)", flush=True)
     if args.parity_only:
         print("DONE", flush=True)
         return
