@@ -1,4 +1,17 @@
-"""Pallas ring-key kernel vs the XLA computation (interpret mode on CPU)."""
+"""Pallas ring-key kernel vs the XLA computation (interpret mode on CPU).
+
+This file PINS the backend to CPU even under CONT2_TEST_PLATFORM=axon:
+every test here runs the kernels in pallas interpret mode, whose semantics
+are platform-independent by construction — on the tunneled TPU the
+interpreter's many tiny dispatches each pay the ~40 ms degraded-mode cost
+(measured 2026-08-19: 2 tests in 45 min vs 29 in 2 min on CPU) for zero
+added signal. Real-chip validation of the Mosaic-compiled kernel is the
+separate isolated compile attempt recorded in PARITY.md.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import dataclasses
 
