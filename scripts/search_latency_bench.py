@@ -162,7 +162,7 @@ def main():
             per_op("search[bf16 block]", chained_search, q,
                    kq.astype(jnp.bfloat16))
 
-    if "searchcover" in variants:
+    if "searchcover" in variants or "searchcoverbf16" in variants:
         @functools.partial(jax.jit, static_argnames=("n_iter",))
         def chained_search_cover(qq, keys, n_iter):
             def body(c, _):
@@ -171,7 +171,11 @@ def main():
                 return c * (1.0 + 1e-30 * d.min()), None
             c, _ = jax.lax.scan(body, qq, None, length=n_iter)
             return c[0, 0, 0]
-        per_op("search[f32 cover]", chained_search_cover, q, kq)
+        if "searchcover" in variants:
+            per_op("search[f32 cover]", chained_search_cover, q, kq)
+        if "searchcoverbf16" in variants:
+            per_op("search[bf16 cover]", chained_search_cover, q,
+                   kq.astype(jnp.bfloat16))
 
     if "searchfresh" in variants or "searchfreshcover" in variants:
         @functools.partial(jax.jit, static_argnames=("n_iter", "strategy"))
