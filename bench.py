@@ -337,7 +337,7 @@ def main():
 
     # pre-stage the timing chains' ts uploads (~200 ms each in the post-
     # switch degraded mode — hoisting them out of the timed region).
-    # Epochs interleave chain lengths across lanes (12@lane0, 132@lane1, ...)
+    # Epochs interleave chain lengths across lanes (20@lane0, 132@lane1, ...)
     # so neither length systematically sees different scenes.
     chain_plan = [(K_SMALL, 2 * r) if j == 0 else (K_FILL, 2 * r + 1)
                   for r in range(REPS) for j in range(2)]

@@ -15,6 +15,10 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# each test file owns its process here, so per-file process-global backend
+# pins (tests/test_pallas_kernels.py's CPU pin) are safe to apply
+export CONT2_FILE_ISOLATED=1
+
 rc_all=0
 failed=()
 for f in tests/test_*.py; do

@@ -337,7 +337,11 @@ def test_step_chain_dyn_matches_step_chain():
     # rows — stored here but never surfaced as records — can drift a few mm
     # in the GMM-refined pose (observed on v5e: 1/216 elements, 2.6e-3 abs /
     # 2.0e-4 rel, 2026-08-19). Records the API returns are still pinned at
-    # rtol=1e-4 above; the whole-store sweep gets the looser TPU band.
+    # rtol=1e-4 above; only non-CPU backends get the looser whole-store band
+    # (advisor r3: the CPU mesh keeps the original exact pin).
+    import jax
+    tol = (dict(rtol=1e-4, atol=1e-5) if jax.default_backend() == "cpu"
+           else dict(rtol=1e-3, atol=5e-3))
     np.testing.assert_allclose(np.asarray(db_dyn.recs_store[:db_dyn.n]),
                                np.asarray(db_ref.recs_store[:db_ref.n]),
-                               rtol=1e-3, atol=5e-3)
+                               **tol)

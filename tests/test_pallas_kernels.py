@@ -1,17 +1,36 @@
 """Pallas ring-key kernel vs the XLA computation (interpret mode on CPU).
 
-This file PINS the backend to CPU even under CONT2_TEST_PLATFORM=axon:
+This file runs on a CPU backend even under CONT2_TEST_PLATFORM=axon:
 every test here runs the kernels in pallas interpret mode, whose semantics
 are platform-independent by construction — on the tunneled TPU the
 interpreter's many tiny dispatches each pay the ~40 ms degraded-mode cost
 (measured 2026-08-19: 2 tests in 45 min vs 29 in 2 min on CPU) for zero
 added signal. Real-chip validation of the Mosaic-compiled kernel is the
 separate isolated compile attempt recorded in PARITY.md.
+
+The CPU pin is PROCESS-GLOBAL (jax.config.update at import, before backend
+init), so it is only applied when it cannot leak onto other test files: in
+plain CPU mode it is a no-op re-pin, and under scripts/run_suite.sh each
+file owns its process (CONT2_FILE_ISOLATED=1). In a MONOLITHIC
+CONT2_TEST_PLATFORM=axon run this module instead skips itself — previously
+its import-time pin silently moved the entire on-chip suite to CPU
+(advisor r3, severity medium).
 """
 
-import jax
+import os
 
-jax.config.update("jax_platforms", "cpu")
+import jax
+import pytest
+
+if (os.environ.get("CONT2_TEST_PLATFORM", "cpu") == "cpu"
+        or os.environ.get("CONT2_FILE_ISOLATED", "0") == "1"):
+    jax.config.update("jax_platforms", "cpu")
+else:
+    pytest.skip(
+        "pallas interpret tests pin the whole process to CPU; under "
+        "CONT2_TEST_PLATFORM=axon run them via scripts/run_suite.sh "
+        "(per-file process isolation) so the pin cannot move the rest of a "
+        "monolithic on-chip run off-chip", allow_module_level=True)
 
 import dataclasses
 
