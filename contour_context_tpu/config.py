@@ -210,6 +210,19 @@ class ContourDBConfig:
                                   # the flat max_check_cands pad; KITTI-like
                                   # streams average ~18 hits/scan vs the 512
                                   # cap (db._cascade_chunked). 0 = unchunked.
+    check1_prefilter: bool = True  # run check 1 (anchor checkSim — a few
+                                  # scalar gathers + elementwise math per
+                                  # hint) over ALL selected hints first and
+                                  # feed only its survivors, compacted in
+                                  # hint order, to the chunked cascade:
+                                  # checks 2/3 cost ~100x check 1 per hint
+                                  # and pass2/3 require pass1, so skipped
+                                  # rows contribute nothing downstream —
+                                  # records are bit-identical (pinned by
+                                  # tests/test_fused_step.py), the chunk
+                                  # count drops from ceil(n_valid/W) to
+                                  # ceil(aft1/W). Only active when the
+                                  # cascade actually runs chunked.
 
     def __post_init__(self):
         # check-3 stats tables cover the DIST_BIN_LAYERS levels only; an

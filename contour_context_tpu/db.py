@@ -401,6 +401,32 @@ def _tab_from(desc_like, gidx=None):
     )
 
 
+def _check1_impl(store: ScanDesc, query: ScanDesc, gidx, level, seq_src,
+                 seq_tgt, hint_valid, cont_sim):
+    """Check 1 (anchor ContourView::checkSim, contour.h:278-329) for every
+    hint: the prefilter of the chunked cascade (config.check1_prefilter).
+    Gathers only the 4 anchor stat channels per side — ~100x cheaper per
+    hint than the full cascade's constellation work."""
+    from contour_context_tpu.ops.cascade import check_sim_batched
+
+    gi = jnp.where(hint_valid, gidx, 0)
+    lvl = jnp.clip(level, 0, store.cnt.shape[1] - 1)
+    ss = jnp.clip(seq_src, 0, store.cnt.shape[2] - 1)
+    st = jnp.clip(seq_tgt, 0, query.cnt.shape[1] - 1)
+
+    def at_src(a):
+        return a[gi, lvl, ss]
+
+    def at_tgt(a):
+        return a[lvl, st]
+
+    return hint_valid & check_sim_batched(
+        at_src(store.cnt).astype(jnp.float32), at_src(store.eig_vals),
+        at_src(store.vol3_mean), at_src(store.com_r),
+        at_tgt(query.cnt).astype(jnp.float32), at_tgt(query.eig_vals),
+        at_tgt(query.vol3_mean), at_tgt(query.com_r), cont_sim)
+
+
 def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
                              gidx, level, seq_src, seq_tgt, hint_valid,
                              thres_lb: CandidateScoreEnsemble, cont_sim):
@@ -545,10 +571,14 @@ class QueryRecord(NamedTuple):
     overflow_hints: jnp.ndarray  # () int32 valid hits beyond max_check_cands
     overflow_pass: jnp.ndarray   # () int32 passing hints beyond merge budget
     overflow_cand: jnp.ndarray   # () int32 hints dropped, candidate table full
-    overflow_pot: jnp.ndarray    # () int32 hints whose bit-adjacent pair pool
-    #                                 exceeded cascade.P_POT (window truncated)
-    overflow_win: jnp.ndarray    # () int32 hints whose consensus window
-    #                                 exceeded cascade.P_MAX-1 (pairs dropped)
+    overflow_pot: jnp.ndarray    # () int32 check-1-surviving hints whose
+    #                                 bit-adjacent pair pool exceeded
+    #                                 cascade.P_POT (window truncated) —
+    #                                 survivors only: a check-1 failure can
+    #                                 never contribute a pair
+    overflow_win: jnp.ndarray    # () int32 check-1-surviving hints whose
+    #                                 consensus window exceeded cascade.P_MAX-1
+    #                                 (pairs dropped)
     overflow_pix: jnp.ndarray    # () int32 query ring-key pixels beyond
     #                                 cfg.cm.pix_pool (weakest-weight dropped)
     overflow_gmm: jnp.ndarray    # () int32 query 95%-area GMM ellipses beyond
@@ -617,11 +647,37 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     HC = min(cfg.db.max_check_cands, Hfull)
     perm, hv, n_valid, overflow_hints = _select_hints(
         valid_f, dist.reshape(-1), HC)
+    g_h, l_h = gidx_f[perm], level_f[perm]
+    ss_h, st_h = seq_src_f[perm], seq_tgt_f[perm]
+
+    # check-1 prefilter (config.check1_prefilter): compute the cheap anchor
+    # checkSim for ALL selected hints, then compact its survivors — in hint
+    # order, so the merge still processes passing hints in the reference's
+    # sequential order — and run the chunked cascade over ceil(aft1/W)
+    # chunks instead of ceil(n_valid/W). Bit-identical records: pass2/3
+    # require pass1, so the skipped rows contribute nothing downstream
+    # (pinned by tests/test_fused_step.py's prefilter A/B). Headline-world
+    # funnel: ~617 hints/scan but far fewer check-1 survivors, so this
+    # removes most cascade chunks. The overflow_pot/win counters then count
+    # check-1 SURVIVORS only — exactly the rows whose pool truncation could
+    # affect results (a check-1 failure can never contribute a pair).
+    chunkw = cfg.db.cascade_chunk
+    use_prefilter = (cfg.db.check1_prefilter and 0 < chunkw < HC)
+    if use_prefilter:
+        pass1_all = _check1_impl(store, query, g_h, l_h, ss_h, st_h, hv,
+                                 cfg.db.cont_sim)
+        aft1 = jnp.sum(pass1_all).astype(jnp.int32)
+        pos = jnp.arange(HC, dtype=jnp.float32)
+        perm2, hv_run, n_run, _ = select_topk_stable(pos, pass1_all, HC)
+        g_h, l_h = g_h[perm2], l_h[perm2]
+        ss_h, st_h = ss_h[perm2], st_h[perm2]
+    else:
+        aft1 = None
+        hv_run, n_run = hv, n_valid
 
     res = _cascade_chunked(
-        store, query, gidx_f[perm], level_f[perm], seq_src_f[perm],
-        seq_tgt_f[perm], hv, n_valid, cfg.thres_lb, cfg.db.cont_sim,
-        cfg.db.cascade_chunk)
+        store, query, g_h, l_h, ss_h, st_h, hv_run, n_run,
+        cfg.thres_lb, cfg.db.cont_sim, chunkw)
 
     if cfg.db.dynamic_thres:
         # DYNAMIC_THRES=1: sequential re-gating with rising bars
@@ -632,7 +688,7 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
         pass2_d, pass3_d = res.pass2, res.pass3
 
     st = merge_proposals(
-        pass3_d, gidx_f[perm], res.T_delta, res.pair_valid, res.pair_level,
+        pass3_d, g_h, res.T_delta, res.pair_valid, res.pair_level,
         res.pair_seq_src, res.pair_seq_tgt, res.pair_area_perc,
         n_cand_max=cfg.db.max_cand_poses, n_pass_max=cfg.db.max_pass_hints)
 
@@ -674,15 +730,20 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
         corr=jnp.where(found, corr_fm[best], 0.0).astype(jnp.float32),
         T=T_f[best].astype(jnp.float32),
         n_hints=n_valid,
-        aft1=jnp.sum(res.pass1).astype(jnp.int32),
+        aft1=(jnp.sum(res.pass1).astype(jnp.int32) if aft1 is None else aft1),
         aft2=jnp.sum(pass2_d).astype(jnp.int32),
         aft3=jnp.sum(pass3_d).astype(jnp.int32),
         n_cand=st.n_cand,
         overflow_hints=overflow_hints.astype(jnp.int32),
         overflow_pass=st.overflow_pass,
         overflow_cand=st.overflow_cand,
-        overflow_pot=jnp.sum(res.pot_overflow & hv).astype(jnp.int32),
-        overflow_win=jnp.sum(res.win_overflow & hv).astype(jnp.int32),
+        # pot/win truncation is counted over check-1 SURVIVORS in both the
+        # prefilter and the plain path (pass1 == hv_run there): a check-1
+        # failure can never contribute a constellation pair, so its pool
+        # truncation cannot affect results — and the two paths then emit
+        # bit-identical records (tests/test_fused_query.py prefilter A/B)
+        overflow_pot=jnp.sum(res.pot_overflow & res.pass1).astype(jnp.int32),
+        overflow_win=jnp.sum(res.win_overflow & res.pass1).astype(jnp.int32),
         overflow_pix=jnp.asarray(query.pix_overflow, jnp.int32),
         overflow_gmm=jnp.asarray(query.gmm_overflow, jnp.int32),
     ))

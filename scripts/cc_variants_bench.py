@@ -9,6 +9,16 @@ independent; asserted here before timing):
   unroll3   3 static propagates + 1-propagate while tail (r3 tree state)
   unroll4   4 static propagates + 1-propagate while tail
   u2loop2   2 static propagates + 2-propagate while tail
+  hilli4    unroll4 control flow + Hillis-Steele doubling shift+max for the
+            segmented run flush (8 pad/slice/max steps per direction vs
+            associative_scan's odd-even recursion, ~4x fewer XLA ops —
+            aimed at the vmapped-16 chain form where cc measured
+            2.79 ms/scan, desc_latency_bench --vmap 16 2026-08-20)
+  hillsep4  hilli4 + separable 3x3 window min (shift+min ops instead of
+            lax.reduce_window)
+
+--vmap N batches the timed body over N scans (the shipping chains build
+descriptors in vmapped 16-scan chunks; per-scan ms = slope / N).
 
 Run on the real chip:
     timeout 900 python scripts/cc_variants_bench.py > /tmp/cc_var.log 2>&1
@@ -31,8 +41,10 @@ def main():
     ap.add_argument("--parity-only", action="store_true")
     ap.add_argument("--variants", default="r2loop,uroll3,uroll4",
                     help="comma list from: r2loop pack2 unroll3 unroll4 "
-                         "u2loop2 uroll3 uroll4 (docstring names; the "
-                         "2026-08-19 record timed all of them)")
+                         "u2loop2 uroll3 uroll4 hilli4 hillsep4 (docstring "
+                         "names; the 2026-08-19 record timed the first six)")
+    ap.add_argument("--vmap", type=int, default=1,
+                    help="batch the timed body over N vmapped scans")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +77,7 @@ def main():
         brk = ~masks
         MAXV = (1 << 15) - 1
         packed_scans = variant in ("pack2", "unroll3", "unroll4", "u2loop2")
+        hillis = variant in ("hilli4", "hillsep4")
 
         segs = {}
         for axis in (1, 2):
@@ -77,8 +90,34 @@ def main():
             else:
                 segs[axis] = (seg_f, seg_r)
 
+        def shift_fwd(x, d, axis):
+            # prepend d zeros, drop the tail: zeros never win a packed max
+            # (every packed value has neg = MAXV - lab >= MAXV - S > 0)
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (d, 0)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, x.shape[axis])
+            return jnp.pad(x, pad)[tuple(sl)]
+
+        def shift_rev(x, d, axis):
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, d)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(d, d + x.shape[axis])
+            return jnp.pad(x, pad)[tuple(sl)]
+
         def run_min(lab, axis):
             neg = MAXV - lab
+            if hillis:
+                seg_f, seg_r = segs[axis]
+                x = seg_f | neg
+                y = seg_r | neg
+                d = 1
+                while d < lab.shape[axis]:
+                    x = jnp.maximum(x, shift_fwd(x, d, axis))
+                    y = jnp.maximum(y, shift_rev(y, d, axis))
+                    d *= 2
+                return MAXV - jnp.maximum(x & MAXV, y & MAXV)
             if packed_scans:
                 packed = segs[axis] | jnp.stack(
                     [neg, jnp.flip(neg, axis=axis)])
@@ -91,16 +130,29 @@ def main():
                                         reverse=True)
             return MAXV - (jnp.maximum(rm_f & MAXV, rm_r & MAXV))
 
+        def shiftv(x, d, axis):
+            # value shift for the window min: out-of-bounds = S (neutral)
+            if d > 0:
+                return shift_fwd(x - S, d, axis) + S
+            return shift_rev(x - S, -d, axis) + S
+
         def propagate(lab):
-            neigh = lax.reduce_window(
-                lab, jnp.int32(S), lax.min,
-                window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
-                padding="SAME")
+            if variant == "hillsep4":
+                m = jnp.minimum(lab, jnp.minimum(shiftv(lab, 1, 1),
+                                                 shiftv(lab, -1, 1)))
+                neigh = jnp.minimum(m, jnp.minimum(shiftv(m, 1, 2),
+                                                   shiftv(m, -1, 2)))
+            else:
+                neigh = lax.reduce_window(
+                    lab, jnp.int32(S), lax.min,
+                    window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+                    padding="SAME")
             new = jnp.where(masks, jnp.minimum(lab, neigh), S)
             new = jnp.where(masks, run_min(new, 2), S)
             return jnp.where(masks, run_min(new, 1), S)
 
-        if variant in ("uroll3", "uroll4"):   # UNPACKED scans + static unroll
+        if variant in ("uroll3", "uroll4", "hilli4", "hillsep4"):
+            # UNPACKED/doubling scans + static unroll
             n = 3 if variant == "uroll3" else 4
             ps = [labels0]
             for _ in range(n):
@@ -152,12 +204,26 @@ def main():
     nr, nc = cm.n_row, cm.n_col
     grads = jnp.array(cm.lv_grads, jnp.float32)
 
+    V = max(1, args.vmap)
+    if V > 1:
+        pts_v = np.stack([
+            pad_points(render_scan(world, (40.0 + 4.0 * i, 2.0, 0.3),
+                                   seed=7 + i), cm.max_points)
+            for i in range(V)])
+        pts0 = jax.device_put(jnp.asarray(pts_v))
+
+    def one_cc(p, variant):
+        bev, _rf, _cf = rasterize_bev(p, cm)
+        masks = (bev.reshape(nr, nc)[None] > grads[:, None, None])
+        return cc(masks, variant)
+
     @functools.partial(jax.jit, static_argnames=("variant", "n_iter"))
     def chained(points, n_iter, variant):
         def body(p, _):
-            bev, _rf, _cf = rasterize_bev(p, cm)
-            masks = (bev.reshape(nr, nc)[None] > grads[:, None, None])
-            lab = cc(masks, variant)
+            if V > 1:
+                lab = jax.vmap(lambda q: one_cc(q, variant))(p)
+            else:
+                lab = one_cc(p, variant)
             s = lab.sum().astype(jnp.float32)
             return p * (1.0 + 1e-30 * s).astype(p.dtype), s
         p, ss = jax.lax.scan(body, points, None, length=n_iter)
@@ -165,9 +231,8 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("variant",))
     def full_labels(points, variant):
-        bev, _rf, _cf = rasterize_bev(points, cm)
-        masks = (bev.reshape(nr, nc)[None] > grads[:, None, None])
-        return cc(masks, variant)
+        p0 = points[0] if V > 1 else points
+        return one_cc(p0, variant)
 
     t0 = time.time()
     _ = jax.device_get(jnp.zeros(4) + 1)
@@ -205,8 +270,8 @@ def main():
         t1 = timed(v, 1)
         tK = timed(v, K)
         ms = (tK - t1) / (K - 1) * 1e3
-        print(f"cc[{v}]: {ms:.3f} ms  (t1={t1*1e3:.1f}, tK={tK*1e3:.1f})",
-              flush=True)
+        print(f"cc[{v}]: {ms / V:.3f} ms/scan (vmap {V}; iter {ms:.3f} ms, "
+              f"t1={t1*1e3:.1f}, tK={tK*1e3:.1f})", flush=True)
     print("DONE", flush=True)
 
 

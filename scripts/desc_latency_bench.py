@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--max-points", type=int, default=131072)
     ap.add_argument("--micro-only", action="store_true",
                     help="skip the cumulative depth series; run only the isolated micro-splits")
+    ap.add_argument("--vmap", type=int, default=1,
+                    help="batch the depth series over N vmapped scans (the "
+                         "shipping chains build descriptors in vmapped "
+                         "16-scan chunks); per-scan ms = slope / N")
     args = ap.parse_args()
     K = args.chain
 
@@ -55,6 +59,13 @@ def main():
     pts_np = pad_points(render_scan(world, (40.0, 2.0, 0.3), seed=7),
                         cm.max_points)
     pts0 = jax.device_put(jnp.asarray(pts_np))
+    V = max(1, args.vmap)
+    if V > 1:
+        pts_v = np.stack([
+            pad_points(render_scan(world, (40.0 + 4.0 * i, 2.0, 0.3),
+                                   seed=7 + i), cm.max_points)
+            for i in range(V)])
+        pts0_v = jax.device_put(jnp.asarray(pts_v))
 
     t0 = time.time()
     _ = jax.device_get(jnp.zeros(4) + 1)
@@ -108,7 +119,10 @@ def main():
     @functools.partial(jax.jit, static_argnames=("depth", "n_iter"))
     def chained_depth(points, n_iter, depth):
         def body(p, _):
-            s = desc_depth(p, depth)
+            if V > 1:
+                s = jax.vmap(lambda q: desc_depth(q, depth))(p).sum()
+            else:
+                s = desc_depth(p, depth)
             return p * (1.0 + 1e-30 * s).astype(p.dtype), s
         p, ss = jax.lax.scan(body, points, None, length=n_iter)
         return ss[-1]
@@ -118,8 +132,11 @@ def main():
                   ("raster", "masks", "cc", "tables", "keys", "full")):
         def f(points, n_iter, d=depth):
             return chained_depth(points, n_iter, d)
-        ms = per_op(f"desc depth={depth}", f, pts0)
-        print(f"   stage delta [{depth}]: {ms - prev:+.3f} ms", flush=True)
+        ms = per_op(f"desc depth={depth}" + (f" (vmap {V} total)"
+                                             if V > 1 else ""), f,
+                    pts0_v if V > 1 else pts0) / V
+        print(f"   stage delta [{depth}]: {ms - prev:+.3f} ms/scan",
+              flush=True)
         prev = ms
 
     # ---- raster micro-splits -------------------------------------------------

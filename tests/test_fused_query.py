@@ -73,6 +73,48 @@ def test_fused_matches_host():
 
 
 @pytest.mark.slow
+def test_check1_prefilter_bit_identical():
+    """config.check1_prefilter is a cost optimization ONLY: the packed
+    per-query records of a driven sequence are BIT-identical with the flag
+    on and off. Caps are squeezed (cascade_chunk < max_check_cands, small
+    merge budget) so the prefilter path genuinely compacts and the chunked
+    cascade runs a different number of chunks between the two configs."""
+    import dataclasses
+
+    from contour_context_tpu.config import ContourDBConfig
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses += [(10.5, 0.8, 0.2), (30.0, -1.0, -0.15), (50.2, 0.7, 0.1)]
+
+    recs = {}
+    for flag in (True, False):
+        cfg = PipelineConfig(
+            cm=ContourManagerConfig(max_points=16384),
+            db=dataclasses.replace(ContourDBConfig(), check1_prefilter=flag,
+                                   max_check_cands=96, cascade_chunk=32,
+                                   max_pass_hints=48))
+        db = ContourDB(cfg, capacity=len(poses) + 2)
+        rows = []
+        for i, pose in enumerate(poses):
+            pts = render_scan(world, pose, seed=500 + i)
+            desc = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                                    cfg.cm, cfg.gmm)
+            h = db.query_async(desc)
+            if h is not None:
+                rows.append(np.asarray(h.rec))
+            db.add_scan(desc, i, 6.0 * i)
+            db.push_and_balance(6.0 * i)
+        recs[flag] = np.stack(rows)
+
+    np.testing.assert_array_equal(recs[True], recs[False])
+    # the sequence must actually exercise the cascade (found loops + hints)
+    assert recs[True][:, 6].max() > 0        # n_hints
+    assert (recs[True][:, 0] > 0.5).sum() >= 1  # found
+
+
+@pytest.mark.slow
 def test_fused_matches_host_dynamic_thres():
     """Same parity under DYNAMIC_THRES=1 (rising lower bounds)."""
     from contour_context_tpu.config import ContourDBConfig
