@@ -122,7 +122,11 @@ def main():
         # interpreter teardown aborts (pthread cancel during a C++ wait)
     log("device probe ok")
 
-    from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
+    import dataclasses
+
+    from contour_context_tpu.config import (ContourDBConfig,
+                                            ContourManagerConfig,
+                                            PipelineConfig)
     from contour_context_tpu.db import (ContourDB, _localize_block,
                                         _query_step_impl, drain_block_handles,
                                         drain_handles)
@@ -155,8 +159,11 @@ def main():
     # (2 compiles 16+64, 3 reps each of 16+64 = 320) + slack — undercounting
     # triggers a grow, which recompiles every graph mid-run
     N_LANES = REPS * 2
+    # + 320 block16-prebuilt rows + 320 block16-full rows + the scan
+    # cross-check's 2x(K_SMALL+K_FILL); the matched phase uses its own DB
     db = ContourDB(cfg, capacity=N_LANES * K_FILL + REPS * (K_SMALL + K_FILL)
-                   + 2 * K_FILL + (N_ENQ if run_enq else 0) + 320 + 8)
+                   + 2 * (K_SMALL + K_FILL) + (N_ENQ if run_enq else 0)
+                   + 640 + 8)
 
     # KITTI-density workload geometry (r3): six parallel one-way LANES of 132
     # scans (4 m spacing, ~528 m each, 120 m lane separation so lanes never
@@ -384,7 +391,9 @@ def main():
                   "cascade; retrieval-hint "
                   "density runs ABOVE the reference's ~17.9 hits/scan (see "
                   "hints_per_scan in the final line) so the cascade load is "
-                  "conservative vs the 11 ms baseline; fused sequential "
+                  "conservative vs the 11 ms baseline — matched_ms is the "
+                  "complementary number at a reference-MATCHED cascade load "
+                  "(hint cap 32); fused sequential "
                   "stream: descriptor + query + append + window per scan; K "
                   "steps chained in ONE dispatch, two chain lengths "
                   "differenced over a true device fetch — enqueue-side "
@@ -407,19 +416,29 @@ def main():
     # printed JSON line carries every phase that finished (the r2 run lost
     # all secondaries to a budget overrun even though some could have fit).
     dt_scan_chain_ms = None
+    dt_scan_diff_ms = None
     dt_blk_ms = None
+    dt_blk_full_ms = None
+    dt_matched_ms = None
+    matched_info = None
     dt_big = {8192: None, 32768: None, 131072: None}
+    query_hints = {8192: None, 32768: None, 131072: None}
     dt_loc_ms = {32768: None, 131072: None}
 
     def emit_extended():
         extended = dict(headline)
         extended.update({
             "scan_chain132_raw_ms": rnd(dt_scan_chain_ms),
+            "scan_chain_diff_ms": rnd(dt_scan_diff_ms),
             "fused_stream_enqueue_ms": rnd(dt_enq_ms),
-            "batched_block16_ms": rnd(dt_blk_ms),
+            "batched_block16_prebuilt_ms": rnd(dt_blk_ms),
+            "block16_full_ms": rnd(dt_blk_full_ms),
+            "matched_ms": rnd(dt_matched_ms),
+            "matched": matched_info,
             "query_8192scan_db_ms": rnd(dt_big[8192]),
             "query_32768scan_db_ms": rnd(dt_big[32768]),
             "query_131072scan_db_ms": rnd(dt_big[131072]),
+            "query_probe_hints": {str(k): v for k, v in query_hints.items()},
             "localize_block16_vs_32768map_ms": rnd(dt_loc_ms[32768]),
             "localize_block16_vs_131072map_ms": rnd(dt_loc_ms[131072]),
             "n_compiles": compile_counter.count,
@@ -428,15 +447,29 @@ def main():
             "note": "all *_ms are pure device time (chained-dispatch "
                     "differencing over a true fetch); the headline chains "
                     "run the runtime-trip-count _step_chain_dyn executable "
-                    "(fori/while lowering) — scan_chain132_raw_ms is the "
-                    "production lax.scan executable (step_chain_async) at "
-                    "the same chain length and measurement form, bounding "
-                    "any loop-lowering delta (compare against "
-                    "chain_ms.t132). fused_stream_enqueue_ms is the host "
-                    "submission rate of the one-dispatch-per-scan stream "
-                    "(the r1 methodology) — block_until_ready does not "
-                    "reliably sync on this tunnel. null secondary = "
-                    "skipped by CONT2_BENCH_BUDGET.",
+                    "(fori/while lowering) — scan_chain_diff_ms is the "
+                    "production lax.scan executable (step_chain_async) "
+                    "differenced at the same chain lengths (and "
+                    "scan_chain132_raw_ms its raw big-chain wall time, "
+                    "compare chain_ms.t132), closing the loop-lowering "
+                    "question with a number. batched_block16_prebuilt_ms "
+                    "times the block chain over PRE-BUILT descriptors "
+                    "(query+append only — NOT comparable to the "
+                    "reference's 11 ms, which is 82% descriptor build); "
+                    "block16_full_ms builds descriptors IN-dispatch and is "
+                    "the comparable full-pipeline block number. matched_ms "
+                    "is the same fused stream with the cascade hint cap at "
+                    "32 (~1.8x the reference's ~17.9 hits/scan profile) — "
+                    "the reference-matched-workload headline; its found "
+                    "rate over the timed revisit epochs rides in "
+                    "'matched'. query_probe_hints reports each scaling "
+                    "probe's live n_hints (the store tiles a fixed-content "
+                    "prefix, so these are run-stable). "
+                    "fused_stream_enqueue_ms is the host submission rate "
+                    "of the one-dispatch-per-scan stream (the r1 "
+                    "methodology) — block_until_ready does not reliably "
+                    "sync on this tunnel. null secondary = skipped by "
+                    "CONT2_BENCH_BUDGET.",
         })
         print(json.dumps(extended), flush=True)
         return extended
@@ -467,12 +500,16 @@ def main():
     loc_pts = pts_fill[:B_BLK]
 
     # block-16 batched throughput: NB sequential blocks chained in one
-    # dispatch; differencing NB=1 vs NB=4 isolates per-block device time
+    # dispatch; differencing NB=1 vs NB=4 isolates per-block device time.
+    # Two rows: over PRE-BUILT descriptors (query+append only — the r3 row,
+    # now labeled honestly) and the FULL pipeline with the descriptor build
+    # in-dispatch (block_chain_pts — the row comparable to the reference's
+    # 11 ms, which is 82% build).
     if blk_staged is not None and in_budget(60):
-        log("phase block16")
+        log("phase block16 (descriptors prebuilt)")
         descs_nb, descs_1 = blk_staged
 
-        def time_blocks(descs, nb, reps=3):
+        def time_blocks(descs, nb, reps=3, full_pts=None):
             best = None
             for _ in range(reps):
                 base = take_ids(nb * B_BLK)
@@ -481,7 +518,10 @@ def main():
                               dtype=np.float32).reshape(nb, B_BLK))
                 seqs = list(range(base, base + nb * B_BLK))
                 t0 = time.perf_counter()
-                h = db.block_chain_async(descs, seqs, ts_nb)
+                if full_pts is not None:
+                    h = db.block_chain_pts_async(full_pts, seqs, ts_nb)
+                else:
+                    h = db.block_chain_async(descs, seqs, ts_nb)
                 blk_handles.append(h)
                 fetch1(h.recs)
                 dt = time.perf_counter() - t0
@@ -493,8 +533,99 @@ def main():
         t1 = time_blocks(descs_1, 1)
         t4 = time_blocks(descs_nb, NB_BIG)
         dt_blk_ms = (t4 - t1) / ((NB_BIG - 1) * B_BLK) * 1e3
-        log(f"block16 device time: {dt_blk_ms:.3f} ms/scan")
+        log(f"block16 (prebuilt descs) device time: {dt_blk_ms:.3f} ms/scan")
         emit_extended()
+
+    if blk_staged is not None and in_budget(110):
+        log("phase block16 FULL (build in-dispatch)")
+        pts_1 = pts_fill[:B_BLK][None]
+        pts_nb = pts_fill[:NB_BIG * B_BLK].reshape(
+            (NB_BIG, B_BLK) + tuple(pts_fill.shape[1:]))
+        time_blocks(None, 1, reps=1, full_pts=pts_1)     # compile
+        time_blocks(None, NB_BIG, reps=1, full_pts=pts_nb)
+        t1f = time_blocks(None, 1, full_pts=pts_1)
+        t4f = time_blocks(None, NB_BIG, full_pts=pts_nb)
+        dt_blk_full_ms = (t4f - t1f) / ((NB_BIG - 1) * B_BLK) * 1e3
+        log(f"block16 FULL device time: {dt_blk_full_ms:.3f} ms/scan")
+        emit_extended()
+
+    # ---- matched-workload headline (VERDICT r3 #1): the SAME world,
+    # revisit geometry and chained-differencing methodology with the cascade
+    # hint cap at 32 (~1.8x the reference's ~17.9 KNN hits/scan on KITTI 08,
+    # log/timing_cont2_paper.txt:31-39) — per-scan end-to-end device time at
+    # a cascade load MATCHED to the reference's profiled workload, with the
+    # timed epochs' loop-found rate reported so the number cannot silently
+    # trade recall for speed. scripts/matched_density_bench.py is the
+    # standalone form (adds the cap-512 found-set A/B). --------------------
+    if os.environ.get("CONT2_BENCH_MATCHED", "1") == "1" and in_budget(210):
+        log("phase matched-workload (hint cap 32; compiles its own chain)")
+        try:
+            cfg_m = PipelineConfig(
+                cm=ContourManagerConfig(max_points=131072),
+                db=dataclasses.replace(
+                    ContourDBConfig(), max_check_cands=32, cascade_chunk=0,
+                    max_pass_hints=32))
+            N_LANES_M, REPS_M = 2, 2
+            db_m = ContourDB(cfg_m, capacity=N_LANES_M * K_FILL
+                             + REPS_M * (K_SMALL + K_FILL) + 8)
+            mid = [0]
+
+            def take_m(k):
+                s = mid[0]
+                mid[0] += k
+                return s
+
+            for s in range(N_LANES_M):
+                base = take_m(K_FILL)
+                ts_f = jax.device_put(
+                    np.arange(base, base + K_FILL, dtype=np.float32))
+                hm = db_m.step_chain_dyn_async(
+                    devpad(jax.device_put(clouds_fill[s])),
+                    list(range(base, base + K_FILL)), ts_f)
+                jax.block_until_ready(hm.recs)
+            pts_m = [devpad(jax.device_put(clouds_epoch[s]))
+                     for s in range(N_LANES_M)]
+            staged_km = {k: db_m.stage_chain_k(k)
+                         for k in (K_SMALL, K_FILL)}
+            plan_m = []
+            for _ in range(REPS_M):
+                for k, lane in ((K_SMALL, 0), (K_FILL, 1)):
+                    base = take_m(k)
+                    plan_m.append((k, lane, base, jax.device_put(
+                        np.arange(base, base + K_FILL, dtype=np.float32))))
+            jax.block_until_ready([t for _, _, _, t in plan_m])
+            n_m_start = db_m.n
+            best_m = {K_SMALL: None, K_FILL: None}
+            for k, lane, base, ts_k in plan_m:
+                t0 = time.perf_counter()
+                hm = db_m.step_chain_dyn_async(
+                    pts_m[lane], list(range(base, base + k)), ts_k,
+                    k_dev=staged_km[k])
+                fetch1(hm.recs)
+                dt = time.perf_counter() - t0
+                best_m[k] = dt if best_m[k] is None else min(best_m[k], dt)
+                log(f"matched chain({k}): {dt * 1e3:.1f} ms")
+            dt_matched_ms = (best_m[K_FILL] - best_m[K_SMALL]) \
+                / (K_FILL - K_SMALL) * 1e3
+            from contour_context_tpu.db import _device_fetch
+            recs_m = np.asarray(_device_fetch(db_m.recs_store[:db_m.n]))
+            timed_m = recs_m[n_m_start:db_m.n]
+            matched_info = {
+                "hint_cap": 32,
+                "vs_baseline": rnd(BASELINE_MS / dt_matched_ms),
+                "timed_scans": int(timed_m.shape[0]),
+                "loops_found_timed": int((timed_m[:, 0] > 0.5).sum()),
+                "hints_precap_mean": round(float(timed_m[:, 6].mean()), 1),
+            }
+            log(f"matched-workload device time: {dt_matched_ms:.3f} ms/scan "
+                f"(found {matched_info['loops_found_timed']}"
+                f"/{matched_info['timed_scans']})")
+            del db_m, pts_m
+            import gc as _gc
+            _gc.collect()
+            emit_extended()
+        except Exception as e:  # noqa: BLE001 — phase isolation by design
+            log(f"matched phase FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     # query latency against production-scale DBs (real scans tiled to fill
     # the store — honest for search/cascade scaling; contents repeat but
@@ -537,7 +668,14 @@ def main():
             ts[k] = best
         return (ts[k_big] - ts[k_small]) / (k_big - k_small) * 1e3
 
-    n_have = db.n
+    # tile the big stores from the FIXED fill prefix (rows [0, n_fill_rows)):
+    # everything before the fill is deterministic (seeded rng, fixed phase
+    # order), so the tiled store CONTENT — and with it each probe query's
+    # live hint count — is identical run to run. r3 tiled db.n rows at this
+    # point, which varied with the phases that had run, moving the probe's
+    # cascade load and spreading query_8192scan_db_ms 0.74-2.20 across runs
+    # (VERDICT r3 weak #2).
+    n_have = n_fill_rows
     # the timing-epoch point buffers (6 x (132, 131072, 4) f32 ~ 1.55 GiB)
     # are dead weight past this point — only pts_epoch[0] feeds the final
     # scan-executable cross-check. The 131072-scan store is 4.8 GiB and its
@@ -574,7 +712,14 @@ def main():
                 lambda K: query_chain(big.store, big.keys_q, qdesc,
                                       big.state[1], K, cfg),
                 2, 12)
-            log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms")
+            # probe workload disclosure: the live hint count this scaling
+            # point ran at (col 6 of the packed record; one tiny fetch)
+            from contour_context_tpu.db import _device_fetch as _df
+            query_hints[n_db] = int(np.asarray(_df(
+                query_chain(big.store, big.keys_q, qdesc, big.state[1], 2,
+                            cfg)))[0, 6])
+            log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms "
+                f"(probe hints {query_hints[n_db]})")
             emit_extended()
 
             # map-serving throughput: localize a block of B raw point clouds
@@ -600,26 +745,33 @@ def main():
     # dispatch+fetch form bounds any loop-lowering delta between the two.
     # Runs LAST: it is a methodology bound, not a headline or capability
     # metric, and its compile is the most expendable. ------------------------
-    if os.environ.get("CONT2_BENCH_SCANCHK", "1") == "1" and in_budget(160):
-        log("phase scan-executable cross-check (compiles _step_chain)")
+    if os.environ.get("CONT2_BENCH_SCANCHK", "1") == "1" and in_budget(200):
+        log("phase scan-executable cross-check (compiles _step_chain x2)")
         plan = []
-        for _ in range(2):
-            base = take_ids(K_FILL)
-            plan.append((base, jax.device_put(
-                np.arange(base, base + K_FILL, dtype=np.float32))))
-        fetch1(plan[-1][1])     # sync the staged uploads out of the timing
-        best_scan = None
-        for base, ts_s in plan:
+        for k in (K_SMALL, K_FILL, K_SMALL, K_FILL):
+            base = take_ids(k)
+            plan.append((k, base, jax.device_put(
+                np.arange(base, base + k, dtype=np.float32))))
+        fetch1(plan[-1][2])     # sync the staged uploads out of the timing
+        best_scan = {K_SMALL: None, K_FILL: None}
+        for k, base, ts_s in plan:
             t0 = time.perf_counter()
-            h = db.step_chain_async(pts_epoch[0],
-                                    list(range(base, base + K_FILL)), ts_s)
+            h = db.step_chain_async(pts_epoch[0][:k],
+                                    list(range(base, base + k)), ts_s)
             blk_handles.append(h)
             fetch1(h.recs)
             dt = time.perf_counter() - t0
-            best_scan = dt if best_scan is None else min(best_scan, dt)
-        dt_scan_chain_ms = best_scan * 1e3
+            best_scan[k] = dt if best_scan[k] is None else min(best_scan[k],
+                                                               dt)
+        dt_scan_chain_ms = best_scan[K_FILL] * 1e3
+        # the production executable's OWN differenced per-scan number
+        # (VERDICT r3 #7): lax.scan lowering at both chain lengths, same
+        # form as the dyn headline
+        dt_scan_diff_ms = (best_scan[K_FILL] - best_scan[K_SMALL]) \
+            / (K_FILL - K_SMALL) * 1e3
         log(f"scan chain({K_FILL}): {dt_scan_chain_ms:.1f} ms raw vs dyn "
-            f"t{K_FILL}={t_big * 1e3:.1f} ms")
+            f"t{K_FILL}={t_big * 1e3:.1f} ms; differenced "
+            f"{dt_scan_diff_ms:.3f} ms/scan vs headline {dt_fused_ms:.3f}")
 
     extended = emit_extended()
 
@@ -640,8 +792,10 @@ def main():
     # stored clouds (denser hint counts) and would inflate the statistic the
     # headline's conservativeness argument rests on.
     from contour_context_tpu.db import _device_fetch
-    hints = np.asarray(_device_fetch(db.recs_store[:db.n]))[:, 6]
+    recs_all = np.asarray(_device_fetch(db.recs_store[:db.n]))
+    hints = recs_all[:, 6]
     hint_stats = None
+    headline_found = None
     if n_headline_end > n_headline_start:
         ht = hints[n_headline_start:n_headline_end]
         hint_stats = {"mean": round(float(ht.mean()), 1),
@@ -649,12 +803,21 @@ def main():
                       "p90": float(np.percentile(ht, 90)),
                       "max": float(ht.max()),
                       "fill_mean": round(float(hints[:n_fill_rows].mean()), 1)}
+        # recall disclosure for the TIMED epochs (VERDICT r3 weak #7): every
+        # headline-epoch scan re-drives a filled lane at dy=1.5 m, so every
+        # one is expected to close a loop — found/scans is the found-rate
+        # the headline ran at (overflow-era caps could otherwise trade
+        # recall for speed undetected)
+        fh = recs_all[n_headline_start:n_headline_end, 0] > 0.5
+        headline_found = {"scans": int(fh.size), "found": int(fh.sum()),
+                          "expected": "all (pure revisit epochs)"}
 
     final = dict(extended)
     final.update({
         "scans": len(results),
         "loops_found": n_found,
         "hints_per_scan": hint_stats,
+        "headline_found": headline_found,
         "elapsed_s": round(time.perf_counter() - T0, 1),
     })
     print(json.dumps(final), flush=True)

@@ -1024,6 +1024,31 @@ def _block_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
     return store, keys_q, ts_store, state, recs_store, recs
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("pcfg",))
+def _block_chain_pts(store: ScanDesc, keys_q, ts_store, state, recs_store,
+                     points_nb, ts_nb, pcfg: PipelineConfig):
+    """_block_chain with the descriptor build IN-DISPATCH: `points_nb` is
+    (NB, B, max_points, 4) raw point clouds; each chain step builds its
+    block's B descriptors (vmapped) and then runs the batched block step.
+
+    This is the FULL block-mode pipeline in one timing primitive —
+    differencing two NB values yields per-block device time INCLUDING the
+    descriptor build (the reference's 11 ms is 82% build,
+    log/timing_cont2_paper.txt:34, so a build-free block number is not
+    comparable to it). Returns (..., records (NB, B, W))."""
+    def body(carry, x):
+        pts_b, ts_b = x
+        descs = _build_descs_chunked(pts_b, pcfg)
+        out = _process_block_impl(*carry, descs, ts_b, pcfg)
+        return out[:5], out[5]
+
+    (store, keys_q, ts_store, state, recs_store), recs = jax.lax.scan(
+        body, (store, keys_q, ts_store, state, recs_store),
+        (points_nb, ts_nb))
+    return store, keys_q, ts_store, state, recs_store, recs
+
+
 class QueryHandle:
     """Deferred query result: a packed device record vector not yet fetched.
 
@@ -1746,6 +1771,30 @@ class ContourDB:
          recs) = _block_chain(self.store, self.keys_q, self.ts_store,
                               self.state, self.recs_store, descs_nb,
                               jnp.asarray(ts_nb, jnp.float32), self.cfg)
+        self.seq_of_gidx.extend(int(s) for s in seqs)
+        self.n += nb * b
+        return BlockHandle(recs.reshape(nb * b, recs.shape[-1]), self,
+                           row0=row0)
+
+    def block_chain_pts_async(self, points_nb, seqs, ts_nb) -> "BlockHandle":
+        """NB sequential B-scan FULL block steps (descriptor build
+        in-dispatch) in ONE dispatch (see _block_chain_pts). `points_nb` is
+        (NB, B, max_points, 4) raw point clouds, `ts_nb` (NB, B) f32."""
+        nb, b = int(ts_nb.shape[0]), int(ts_nb.shape[1])
+        assert nb * b == len(seqs)
+        assert points_nb.shape[:2] == (nb, b)
+        if self.store is None:
+            self._init_store()
+        self._ensure_capacity(nb * b)
+        assert self.n + nb * b <= self.capacity, "DB capacity exceeded"
+        if self.recs_store is None:
+            self.recs_store = jnp.zeros((self.capacity, RECORD_WIDTH),
+                                        jnp.float32)
+        row0 = self.n
+        (self.store, self.keys_q, self.ts_store, self.state, self.recs_store,
+         recs) = _block_chain_pts(self.store, self.keys_q, self.ts_store,
+                                  self.state, self.recs_store, points_nb,
+                                  jnp.asarray(ts_nb, jnp.float32), self.cfg)
         self.seq_of_gidx.extend(int(s) for s in seqs)
         self.n += nb * b
         return BlockHandle(recs.reshape(nb * b, recs.shape[-1]), self,

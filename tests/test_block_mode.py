@@ -233,6 +233,47 @@ def test_block_chain_matches_process_block():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_block_chain_pts_matches_block_chain():
+    """The FULL block chain (descriptor build in-dispatch,
+    block_chain_pts_async) == the prebuilt-descriptor chain
+    (block_chain_async) fed the same clouds: identical ring + state. The
+    build depends only on the points, so hoisting it in/out of the dispatch
+    cannot change records — this pins the r4 bench's full-pipeline block row
+    to the tested prebuilt path."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses += [(10.0 * (7 - i) + 0.5, 0.8, 0.15) for i in range(8)]
+    ts = np.asarray([6.0 * i for i in range(len(poses))], np.float32)
+    clouds = np.stack([
+        pad_points(render_scan(world, pose, seed=500 + i), cfg.cm.max_points)
+        for i, pose in enumerate(poses)])
+    B = 4
+    NB = len(poses) // B
+
+    db_a = ContourDB(cfg, capacity=32)
+    descs = [build_descriptor(jnp.asarray(c), cfg.cm, cfg.gmm)
+             for c in clouds]
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs).reshape((NB, B) + xs[0].shape), *descs)
+    ha = db_a.block_chain_async(stacked, list(range(len(poses))),
+                                ts.reshape(NB, B))
+    jax.block_until_ready(ha.recs)
+
+    db_b = ContourDB(cfg, capacity=32)
+    hb = db_b.block_chain_pts_async(
+        jnp.asarray(clouds).reshape(NB, B, *clouds.shape[1:]),
+        list(range(len(poses))), ts.reshape(NB, B))
+    jax.block_until_ready(hb.recs)
+
+    np.testing.assert_allclose(np.asarray(hb.recs), np.asarray(ha.recs),
+                               rtol=1e-5, atol=1e-6)
+    assert db_b.n == db_a.n and db_b.searchable_n == db_a.searchable_n
+
+
 @pytest.mark.slow
 def test_step_chain_matches_step_async():
     """ONE-dispatch K-step chain (lax.scan over the fused step) must equal
