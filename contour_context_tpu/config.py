@@ -78,6 +78,15 @@ class ContourManagerConfig:
     keys_bf16: bool = False    # store retrieval keys bfloat16: halves the HBM
                                # traffic of city-scale search; ranking-only
                                # rounding, cascade re-verifies survivors
+    cc_flush: str = "scan"     # segmented run-flush lowering in cc_labels:
+                               # "scan" = lax.associative_scan (odd-even
+                               # recursion, ~100 small XLA ops per flush);
+                               # "hillis" = Hillis-Steele doubling shift+max
+                               # (2 ops x log2(n) steps per direction).
+                               # Label-identical (the fixpoint is lowering-
+                               # independent; tests pin element equality) —
+                               # pure speed knob, default decided by on-chip
+                               # A/B (scripts/cc_variants_bench.py --vmap 16)
     view_stat: ContourViewStatConfig = field(default_factory=ContourViewStatConfig)
 
     def __post_init__(self):

@@ -124,7 +124,7 @@ def rasterize_bev(points: jnp.ndarray, cfg: ContourManagerConfig):
 # 2. Connected components per level (contour_mng.cpp:274-353 equivalent)
 # ---------------------------------------------------------------------------
 
-def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
+def cc_labels(masks: jnp.ndarray, flush: str = "scan") -> jnp.ndarray:
     """masks (L, nr, nc) bool -> labels (L, nr*nc) int32.
 
     8-connected components labeled by the component's minimum linear pixel
@@ -180,6 +180,23 @@ def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
         bv, bf = b
         return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
 
+    def shift_fwd(x, d, axis):
+        # prepend d zeros, drop the tail: a shifted-in zero never wins a
+        # packed running max (every packed value has neg = MAXV - lab >=
+        # MAXV - S > 0 in its low bits)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (d, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, x.shape[axis])
+        return jnp.pad(x, pad)[tuple(sl)]
+
+    def shift_rev(x, d, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, d)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(d, d + x.shape[axis])
+        return jnp.pad(x, pad)[tuple(sl)]
+
     def run_min(lab, axis):
         if not packable:
             fv, _ = lax.associative_scan(comb, (lab, brk), axis=axis)
@@ -188,6 +205,22 @@ def cc_labels(masks: jnp.ndarray) -> jnp.ndarray:
             return jnp.minimum(fv, rv)
         seg_f, seg_r = segs[axis]
         neg = MAXV - lab
+        if flush == "hillis":
+            # Hillis-Steele doubling: running max = log2(n) shift+max steps
+            # per direction (each step 2 XLA ops) — same fixpoint labels as
+            # the associative_scan lowering (it computes the identical
+            # running max), ~4x fewer ops per flush. Aimed at the vmapped
+            # chain build where the scan lowering's op count dominated
+            # (cc 2.79 ms/scan of the 4.68 ms/scan vmapped-16 build,
+            # desc_latency_bench --vmap 16, 2026-08-20).
+            x = seg_f | neg
+            y = seg_r | neg
+            d = 1
+            while d < lab.shape[axis]:
+                x = jnp.maximum(x, shift_fwd(x, d, axis))
+                y = jnp.maximum(y, shift_rev(y, d, axis))
+                d *= 2
+            return MAXV - jnp.maximum(x & MAXV, y & MAXV)
         rm_f = lax.associative_scan(jnp.maximum, seg_f | neg, axis=axis)
         rm_r = lax.associative_scan(jnp.maximum, seg_r | neg, axis=axis,
                                     reverse=True)
@@ -586,7 +619,7 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
     bev, rowf, colf = rasterize_bev(points, cfg)
     grads = jnp.array(cfg.lv_grads, jnp.float32)
     masks = (bev.reshape(nr, nc)[None] > grads[:, None, None])
-    labels = cc_labels(masks)
+    labels = cc_labels(masks, cfg.cc_flush)
     tab = component_tables(labels, masks.reshape(cfg.n_levels, -1),
                            bev, rowf, colf, cfg)
     keys, anch_valid, pix_overflow = make_keys(tab, bev, rowf, colf, cfg)

@@ -43,6 +43,23 @@ def test_bev_parity(scene):
                                ob.rowf[occ], atol=1e-4)
 
 
+def test_cc_flush_lowerings_identical(scene):
+    """cc_labels' two run-flush lowerings (associative_scan vs Hillis-Steele
+    doubling) are label-identical on real scans — cc_flush is a pure speed
+    knob (config.ContourManagerConfig.cc_flush)."""
+    import jax.numpy as jnp
+
+    from contour_context_tpu.ops.descriptor import cc_labels, rasterize_bev
+
+    bev, _, _ = rasterize_bev(pad_points(scene, CFG.max_points), CFG)
+    grads = jnp.array(CFG.lv_grads, jnp.float32)
+    masks = bev.reshape(CFG.n_row, CFG.n_col)[None] > grads[:, None, None]
+    lab_scan = np.asarray(cc_labels(masks, "scan"))
+    lab_hillis = np.asarray(cc_labels(masks, "hillis"))
+    np.testing.assert_array_equal(lab_hillis, lab_scan)
+    assert (lab_scan < CFG.n_row * CFG.n_col).any()   # non-degenerate
+
+
 def test_contour_tables(built):
     osc, desc = built
     for ll in range(CFG.n_levels):
