@@ -78,15 +78,19 @@ class ContourManagerConfig:
     keys_bf16: bool = False    # store retrieval keys bfloat16: halves the HBM
                                # traffic of city-scale search; ranking-only
                                # rounding, cascade re-verifies survivors
-    cc_flush: str = "scan"     # segmented run-flush lowering in cc_labels:
-                               # "scan" = lax.associative_scan (odd-even
-                               # recursion, ~100 small XLA ops per flush);
+    cc_flush: str = "hillis"   # segmented run-flush lowering in cc_labels:
                                # "hillis" = Hillis-Steele doubling shift+max
-                               # (2 ops x log2(n) steps per direction).
-                               # Label-identical (the fixpoint is lowering-
-                               # independent; tests pin element equality) —
-                               # pure speed knob, default decided by on-chip
-                               # A/B (scripts/cc_variants_bench.py --vmap 16)
+                               # (2 ops x log2(n) steps per direction) +
+                               # separable shift-based 3x3 window min;
+                               # "scan" = lax.associative_scan odd-even
+                               # recursion + lax.reduce_window (the r2/r3
+                               # lowering). Label-identical (the fixpoint is
+                               # lowering-independent; tests pin element
+                               # equality) — pure speed knob. On-chip A/B in
+                               # the shipping vmapped-16 chain form
+                               # (scripts/cc_variants_bench.py --vmap 16,
+                               # 2026-08-20): hillis+sep 0.854 vs scan
+                               # 3.243 ms/scan (raster prefix included)
     view_stat: ContourViewStatConfig = field(default_factory=ContourViewStatConfig)
 
     def __post_init__(self):

@@ -226,11 +226,29 @@ def cc_labels(masks: jnp.ndarray, flush: str = "scan") -> jnp.ndarray:
                                     reverse=True)
         return MAXV - (jnp.maximum(rm_f & MAXV, rm_r & MAXV))
 
+    def shiftv(x, d, axis):
+        # value shift for the window min: out-of-bounds = S (the min-neutral
+        # background). Shift the (x - S) <= 0 image so the zero padding maps
+        # back to exactly S.
+        if d > 0:
+            return shift_fwd(x - S, d, axis) + S
+        return shift_rev(x - S, -d, axis) + S
+
     def propagate(lab):
-        neigh = lax.reduce_window(
-            lab, jnp.int32(S), lax.min,
-            window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
-            padding="SAME")
+        if flush == "hillis":
+            # separable 3x3 min as 4 shift+min ops — the measured winner
+            # over lax.reduce_window in the vmapped chain form (hillsep4
+            # 0.854 vs hilli4 0.967 vs scan-lowering 3.243 ms/scan,
+            # scripts/cc_variants_bench.py --vmap 16 on-chip 2026-08-20)
+            m = jnp.minimum(lab, jnp.minimum(shiftv(lab, 1, 1),
+                                             shiftv(lab, -1, 1)))
+            neigh = jnp.minimum(m, jnp.minimum(shiftv(m, 1, 2),
+                                               shiftv(m, -1, 2)))
+        else:
+            neigh = lax.reduce_window(
+                lab, jnp.int32(S), lax.min,
+                window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+                padding="SAME")
         new = jnp.where(masks, jnp.minimum(lab, neigh), S)
         new = jnp.where(masks, run_min(new, 2), S)
         return jnp.where(masks, run_min(new, 1), S)
@@ -288,10 +306,28 @@ def component_tables(labels: jnp.ndarray, masks_flat: jnp.ndarray,
     sl, pos = jax.lax.sort((labels, iota_s), dimension=1, num_keys=1)
     rs = jnp.concatenate([jnp.ones((L, 1), bool), sl[:, 1:] != sl[:, :-1]],
                          axis=1)                       # run starts
-    spos = lax.associative_scan(
-        jnp.maximum, jnp.where(rs, iota_s, -1), axis=1)  # my run's start
-    ns = lax.associative_scan(
-        jnp.minimum, jnp.where(rs, iota_s, S), axis=1, reverse=True)
+    if cfg.cc_flush == "hillis":
+        # running max / reverse running min via Hillis-Steele doubling —
+        # same values as associative_scan (identical running reduction),
+        # ~3x fewer XLA ops (the tables stage is op-count bound in the
+        # vmapped chain build like cc_labels; see config.cc_flush)
+        def dbl(x, fill, op, rev):
+            d = 1
+            while d < x.shape[1]:
+                pad = [(0, 0), (d, 0)] if not rev else [(0, 0), (0, d)]
+                sh = jnp.pad(x, pad, constant_values=fill)
+                sh = sh[:, :x.shape[1]] if not rev else sh[:, d:]
+                x = op(x, sh)
+                d *= 2
+            return x
+
+        spos = dbl(jnp.where(rs, iota_s, -1), -1, jnp.maximum, rev=False)
+        ns = dbl(jnp.where(rs, iota_s, S), S, jnp.minimum, rev=True)
+    else:
+        spos = lax.associative_scan(
+            jnp.maximum, jnp.where(rs, iota_s, -1), axis=1)  # my run's start
+        ns = lax.associative_scan(
+            jnp.minimum, jnp.where(rs, iota_s, S), axis=1, reverse=True)
     next_start = jnp.concatenate([ns[:, 1:],
                                   jnp.full((L, 1), S, jnp.int32)], axis=1)
     cnt_sorted = next_start - spos
