@@ -655,12 +655,12 @@ def main():
         _, recs = jax.lax.scan(body, pts_b0, None, length=K)
         return recs
 
-    def timed_chain(fn, k_small, k_big):
+    def timed_chain(fn, k_small, k_big, reps=2):
         ts = {}
         for k in (k_small, k_big):
             fn(k)                      # compile / warm
             best = None
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 fetch1(fn(k))
                 dt = time.perf_counter() - t0
@@ -708,15 +708,20 @@ def main():
             big.state = jnp.asarray([n_db, n_db - 32], jnp.int32)
             big.n = n_db
             big.seq_of_gidx = list(range(n_db))
+            # 4-vs-40 chains, best-of-3: the r3/r4a 2-vs-12 probe differenced
+            # a ~30 ms signal against ~0.25 s post-switch fetch noise and
+            # spread 2x run-to-run (1.41 vs 2.41 ms at 8192 across the two
+            # 2026-08-20 runs). lax.scan compiles its body once regardless
+            # of K, so the longer chain costs no extra compile.
             dt_big[n_db] = timed_chain(
                 lambda K: query_chain(big.store, big.keys_q, qdesc,
                                       big.state[1], K, cfg),
-                2, 12)
+                4, 40, reps=3)
             # probe workload disclosure: the live hint count this scaling
             # point ran at (col 6 of the packed record; one tiny fetch)
             from contour_context_tpu.db import _device_fetch as _df
             query_hints[n_db] = int(np.asarray(_df(
-                query_chain(big.store, big.keys_q, qdesc, big.state[1], 2,
+                query_chain(big.store, big.keys_q, qdesc, big.state[1], 4,
                             cfg)))[0, 6])
             log(f"query vs {n_db}: {dt_big[n_db]:.3f} ms "
                 f"(probe hints {query_hints[n_db]})")
@@ -728,7 +733,7 @@ def main():
                 log(f"phase localize vs {n_db}")
                 per_iter = timed_chain(
                     lambda K: localize_chain(big.store, big.keys_q, big.state,
-                                             loc_pts, K, cfg), 1, 4)
+                                             loc_pts, K, cfg), 1, 4, reps=3)
                 dt_loc_ms[n_db] = per_iter / B_BLK
                 log(f"localize16 vs {n_db}: {dt_loc_ms[n_db]:.3f} ms/scan")
                 emit_extended()

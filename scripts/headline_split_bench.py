@@ -83,7 +83,10 @@ def main():
     K_SMALL = 20 if not smoke else 4
     N_LANES = 2 if smoke else 4   # bench.py lane geometry, 4 lanes = 528 fill
 
-    db = ContourDB(cfg, capacity=N_LANES * K_FILL + K_SMALL + K_FILL + 8)
+    HEAD_REPS = 1 if smoke else 3
+    db = ContourDB(cfg,
+                   capacity=N_LANES * K_FILL
+                   + HEAD_REPS * (K_SMALL + K_FILL) + 8)
 
     def lane_poses(lane, dy=0.0):
         y0 = -300.0 + 120.0 * lane + dy
@@ -143,19 +146,29 @@ def main():
     headline_ms = None
     if not smoke:
         staged_k = {k: db.stage_chain_k(k) for k in (K_SMALL, K_FILL)}
+        # interleaved best-of-HEAD_REPS, bench.py-style: post-switch fetches
+        # carry ~0.3-1.5 s of one-off noise per call, same order as the
+        # 112-scan signal — a single rep per length produced negative
+        # differences twice on 2026-08-20. ts uploads pre-staged (each costs
+        # ~200 ms in the degraded mode).
+        plan = []
+        base = n_fill
+        for _ in range(HEAD_REPS):
+            for k in (K_SMALL, K_FILL):
+                plan.append((k, base, jax.device_put(
+                    np.arange(base, base + K_FILL, dtype=np.float32))))
+                base += k
+        jax.block_until_ready([t for _, _, t in plan])
         best = {}
-        for k in (K_SMALL, K_FILL):
-            base = n_fill + (0 if k == K_SMALL else K_SMALL)
-            ts_k = jax.device_put(
-                np.arange(base, base + K_FILL, dtype=np.float32))
-            jax.block_until_ready(ts_k)
+        for k, b, ts_k in plan:
             t0 = time.perf_counter()
             h = db.step_chain_dyn_async(pts_epoch,
-                                        list(range(base, base + k)), ts_k,
+                                        list(range(b, b + k)), ts_k,
                                         k_dev=staged_k[k])
             fetch1(h.recs)
-            best[k] = time.perf_counter() - t0
-            log(f"headline chain({k}): {best[k] * 1e3:.1f} ms")
+            dt = time.perf_counter() - t0
+            best[k] = dt if k not in best else min(best[k], dt)
+            log(f"headline chain({k}): {dt * 1e3:.1f} ms")
         headline_ms = (best[K_FILL] - best[K_SMALL]) / (K_FILL - K_SMALL) * 1e3
         log(f"in-session headline: {headline_ms:.3f} ms/scan "
             f"(store now {db.n})")
