@@ -823,6 +823,12 @@ def main():
         "loops_found": n_found,
         "hints_per_scan": hint_stats,
         "headline_found": headline_found,
+        # fixed-cap truncation disclosure (drained records accumulate into
+        # ContourDB.counters): non-zero overflow_pot/win would mean the
+        # cascade's pair pools clipped during the timed stream — the
+        # grounds on which config.p_pot could be lowered (or must not be)
+        "overflow": {k: int(v) for k, v in db.counters.items()
+                     if k.startswith("overflow")},
         "elapsed_s": round(time.perf_counter() - T0, 1),
     })
     print(json.dumps(final), flush=True)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # Fixed-shape capacity constants for the TPU dense-array layout.
@@ -236,6 +236,25 @@ class ContourDBConfig:
                                   # count drops from ceil(n_valid/W) to
                                   # ceil(aft1/W). Only active when the
                                   # cascade actually runs chunked.
+    p_pot: Optional[int] = 128    # angular-window pair capacity per hint in
+                                  # the check-2/3 cascade (None = ops/
+                                  # cascade.P_POT, 512): the ascending-angle
+                                  # sort keeps the first p_pot bit-adjacent
+                                  # pairs; truncation beyond it is counted
+                                  # per check-1 survivor in ContourDB.
+                                  # counters["overflow_pot"]. The window +
+                                  # member stages scale ~O(p_pot^2): on-chip
+                                  # 512 -> 128 saves ~0.09 ms per 128-hint
+                                  # chunk (scripts/cascade_split_bench.py,
+                                  # 2026-08-20). Default 128 rests on the
+                                  # measured pool audit at the densest
+                                  # (35x-KITTI) headline load: true pool
+                                  # sizes p50=4 / p99=21 / max=45 over 5903
+                                  # check-1 survivors (headline_split_bench
+                                  # pair_pool_pass1, 2026-08-20) — 2.8x
+                                  # headroom; overflow_pot discloses if a
+                                  # denser map ever clips (raise to None/512
+                                  # then).
 
     def __post_init__(self):
         # check-3 stats tables cover the DIST_BIN_LAYERS levels only; an

@@ -43,7 +43,7 @@ from contour_context_tpu.config import (
     CandidateScoreEnsemble,
     PipelineConfig,
 )
-from contour_context_tpu.ops.cascade import run_cascade
+from contour_context_tpu.ops.cascade import CascadeResult, run_cascade
 from contour_context_tpu.ops.candidate import (
     dynamic_pass_scan,
     dynamic_post_scan,
@@ -380,6 +380,11 @@ def _tab_from(desc_like, gidx=None):
 
     If gidx is given the leading index is per-hint; otherwise the query's own
     table (broadcast later). Levels rows = DIST_BIN_LAYERS; J = 10 seqs.
+
+    SUPERSEDED on the hot path by the archived pre-packed ScanDesc.tab12
+    (ops/descriptor.pack_tab12): nine per-chunk store gathers + a stack
+    became one row gather (on-chip attribution 2026-08-20,
+    scripts/cascade_split_bench.py). Kept for diagnostics/scripts.
     """
     lv = jnp.array(DIST_BIN_LAYERS, jnp.int32)
     J = 10
@@ -429,7 +434,8 @@ def _check1_impl(store: ScanDesc, query: ScanDesc, gidx, level, seq_src,
 
 def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
                              gidx, level, seq_src, seq_tgt, hint_valid,
-                             thres_lb: CandidateScoreEnsemble, cont_sim):
+                             thres_lb: CandidateScoreEnsemble, cont_sim,
+                             p_pot: int | None = None):
     H = gidx.shape[0]
     hv = hint_valid
     gi = jnp.where(hv, gidx, 0)
@@ -455,25 +461,29 @@ def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
     tgt_nei = dict(valid=at_tgt(query.nei_valid), level=at_tgt(query.nei_level),
                    seq=at_tgt(query.nei_seq), bit=at_tgt(query.nei_bit),
                    theta=at_tgt(query.nei_theta))
-    src_tab = _tab_from(store, gi)
-    qt = _tab_from(query, None)
-    tgt_tab = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (H,) + a.shape), qt)
+    # check-3 stats: ONE row gather of the archived pre-packed table
+    # (ScanDesc.tab12) per side — replaces the nine-array _tab_from gather +
+    # per-chunk pack (the dominant per-chunk cost in the 2026-08-20 on-chip
+    # attribution, scripts/cascade_split_bench.py)
+    src_tab12 = store.tab12[gi]
+    return run_cascade(src_anchor, src_nei, src_tab12, tgt_anchor, tgt_nei,
+                       query.tab12, hv, level, seq_src, seq_tgt,
+                       thres_lb, cont_sim, p_pot)
 
-    return run_cascade(src_anchor, src_nei, src_tab, tgt_anchor, tgt_nei,
-                       tgt_tab, hv, level, seq_src, seq_tgt,
-                       thres_lb, cont_sim)
 
-
-@functools.partial(jax.jit, static_argnames=("thres_lb", "cont_sim"))
+@functools.partial(jax.jit, static_argnames=("thres_lb", "cont_sim", "p_pot"))
 def _gather_and_cascade(store: ScanDesc, query: ScanDesc,
                         gidx, level, seq_src, seq_tgt, hint_valid,
-                        thres_lb: CandidateScoreEnsemble, cont_sim):
+                        thres_lb: CandidateScoreEnsemble, cont_sim,
+                        p_pot: int | None = None):
     return _gather_and_cascade_impl(store, query, gidx, level, seq_src,
-                                    seq_tgt, hint_valid, thres_lb, cont_sim)
+                                    seq_tgt, hint_valid, thres_lb, cont_sim,
+                                    p_pot)
 
 
 def _cascade_chunked(store: ScanDesc, query: ScanDesc, gidx, level, seq_src,
-                     seq_tgt, hv, n_valid, thres_lb, cont_sim, chunk: int):
+                     seq_tgt, hv, n_valid, thres_lb, cont_sim, chunk: int,
+                     p_pot: int | None = None):
     """Chunked check cascade: ONE compiled cascade at width W, applied to
     ceil(n_valid / W) chunks of the compacted hint rows by a dynamic-trip
     while_loop.
@@ -501,32 +511,60 @@ def _cascade_chunked(store: ScanDesc, query: ScanDesc, gidx, level, seq_src,
     W = min(chunk, HC) if chunk > 0 else HC
     if W >= HC:
         return _gather_and_cascade_impl(store, query, gidx, level, seq_src,
-                                        seq_tgt, hv, thres_lb, cont_sim)
+                                        seq_tgt, hv, thres_lb, cont_sim,
+                                        p_pot)
     n_chunks = -(-HC // W)
 
+    # the while_loop below round-trips its carry every iteration, and a
+    # 16-leaf CascadeResult carry costs 16 dynamic_update_slices + 16 carry
+    # writes per chunk — measured ~0.4 ms/chunk of pure loop machinery on
+    # chip (in-chain 0.74 vs 0.33 ms/chunk isolated, split/cascade benches
+    # 2026-08-20). Pack the result into TWO f32 arrays for the loop (ints
+    # < 2^24 and bools ride f32 exactly) and unpack once afterwards.
     def run_chunk(start):
         sl = lambda a: lax.dynamic_slice_in_dim(a, start, W, axis=0)
-        return _gather_and_cascade_impl(
+        r = _gather_and_cascade_impl(
             store, query, sl(gidx), sl(level), sl(seq_src), sl(seq_tgt),
-            sl(hv), thres_lb, cont_sim)
+            sl(hv), thres_lb, cont_sim, p_pot)
+        f32 = lambda a: a.astype(jnp.float32)
+        scal = jnp.stack([
+            f32(r.pass1), f32(r.pass2), f32(r.pass3),
+            f32(r.ovlp_sum), f32(r.ovlp_max_one), f32(r.in_ang_rng),
+            f32(r.i_indiv_sim), f32(r.i_orie_sim),
+            f32(r.pot_overflow), f32(r.win_overflow),
+            r.T_delta[:, 0], r.T_delta[:, 1], r.T_delta[:, 2]], axis=1)
+        pair = jnp.stack([
+            f32(r.pair_valid), f32(r.pair_level), f32(r.pair_seq_src),
+            f32(r.pair_seq_tgt), r.pair_area_perc], axis=2)
+        return scal, pair                       # (W, 13), (W, P, 5)
 
-    shapes = jax.eval_shape(run_chunk, jnp.int32(0))
-    out0 = jax.tree.map(
-        lambda s: jnp.zeros((HC,) + s.shape[1:], s.dtype), shapes)
+    P = jax.eval_shape(run_chunk, jnp.int32(0))[1].shape[1]
+    out0 = (jnp.zeros((HC, 13), jnp.float32),
+            jnp.zeros((HC, P, 5), jnp.float32))
     nc = jnp.minimum((n_valid + (W - 1)) // W, n_chunks)
 
     def body(carry):
-        i, out = carry
+        i, (scal, pair) = carry
         start = jnp.minimum(i * W, HC - W)
-        r = run_chunk(start)
-        out = jax.tree.map(
-            lambda o, x: lax.dynamic_update_slice_in_dim(o, x, start, axis=0),
-            out, r)
-        return i + 1, out
+        s, p = run_chunk(start)
+        scal = lax.dynamic_update_slice_in_dim(scal, s, start, axis=0)
+        pair = lax.dynamic_update_slice_in_dim(pair, p, start, axis=0)
+        return i + 1, (scal, pair)
 
-    _, out = lax.while_loop(lambda c: c[0] < nc, body,
-                            (jnp.int32(0), out0))
-    return out
+    _, (scal, pair) = lax.while_loop(lambda c: c[0] < nc, body,
+                                     (jnp.int32(0), out0))
+    i32 = lambda a: a.astype(jnp.int32)
+    return CascadeResult(
+        pass1=scal[:, 0] > 0.5, pass2=scal[:, 1] > 0.5, pass3=scal[:, 2] > 0.5,
+        ovlp_sum=i32(scal[:, 3]), ovlp_max_one=i32(scal[:, 4]),
+        in_ang_rng=i32(scal[:, 5]), i_indiv_sim=i32(scal[:, 6]),
+        i_orie_sim=i32(scal[:, 7]),
+        pair_valid=pair[:, :, 0] > 0.5, pair_level=i32(pair[:, :, 1]),
+        pair_seq_src=i32(pair[:, :, 2]), pair_seq_tgt=i32(pair[:, :, 3]),
+        pair_area_perc=pair[:, :, 4],
+        T_delta=scal[:, 10:13],
+        pot_overflow=scal[:, 8] > 0.5, win_overflow=scal[:, 9] > 0.5,
+    )
 
 
 def _gather_gmm_impl(store: ScanDesc, gidx, levels: Tuple[int, ...],
@@ -677,7 +715,7 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
 
     res = _cascade_chunked(
         store, query, g_h, l_h, ss_h, st_h, hv_run, n_run,
-        cfg.thres_lb, cfg.db.cont_sim, chunkw)
+        cfg.thres_lb, cfg.db.cont_sim, chunkw, cfg.db.p_pot)
 
     if cfg.db.dynamic_thres:
         # DYNAMIC_THRES=1: sequential re-gating with rising bars
@@ -1577,6 +1615,12 @@ class ContourDB:
         # the search-layout copy is derived, not persisted (checkpoints stay
         # format-compatible); one transpose at load time
         db.keys_q = _keys_to_q_layout(db.store.keys)
+        # tab12 is derived from the other fields: recompute it so pre-r4
+        # checkpoints (whose trailing leaf zero-filled above) load correctly;
+        # for current files this reproduces the stored values exactly
+        from contour_context_tpu.ops.descriptor import tab12_of
+
+        db.store = db.store._replace(tab12=jax.vmap(tab12_of)(db.store))
         ts_full = np.concatenate([np.asarray(z["ts_store"]) for z in zs])
         db.ts_store = jnp.zeros((cap,), jnp.float32).at[:n].set(ts_full)
         db.state = jnp.asarray(zs[-1]["state"], jnp.int32)

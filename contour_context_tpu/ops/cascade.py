@@ -95,23 +95,29 @@ def _bits_from_nei(bit, valid):
 
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("thres_lb", "cont_sim"))
+@functools.partial(jax.jit, static_argnames=("thres_lb", "cont_sim", "p_pot"))
 def run_cascade(
     # per-hint candidate-side gathers
     src_anchor,        # dict: cnt, eig, h, comr           — (H,) / (H,2)
     src_nei,           # dict: valid, level, seq, bit, theta — (H, M)
-    src_tab,           # dict over levels 1..4 x seq 0..J: cnt (H,4,J), eig (H,4,J,2),
-                       #   h, comr, mean (H,4,J,2), vec1 (H,4,J,2), ecc (H,4,J), perc (H,4,J)
+    src_tab12,         # (H, 4, J, 12) f32 packed check-3 stats table
+                       #   (ops/descriptor.pack_tab12 channel order), gathered
+                       #   per hint from the archived store's tab12 rows
     # query-side per-hint gathers
     tgt_anchor, tgt_nei,
-    tgt_tab,           # same shapes as src_tab (from the query scan)
+    tgt_tab12,         # (4, J, 12) f32 — the query scan's own packed table
+                       #   (identical for every hint; gathered per pair below)
     hint_valid,        # (H,) bool
     anchor_level,      # (H,) int32 — q_level of the hint
     anchor_seq_src, anchor_seq_tgt,   # (H,) int32
     thres_lb: CandidateScoreEnsemble,
     cont_sim: ContourSimThresConfig,
+    p_pot: int | None = None,   # angular-window pair capacity; None = module
+                                #   P_POT (config.ContourDBConfig.p_pot feeds
+                                #   this from the db paths)
 ) -> CascadeResult:
     H, M = src_nei["bit"].shape
+    pot = P_POT if p_pot is None else p_pot
 
     # neighbor tables arrive in HBM-compact dtypes (int8 level/seq, int16
     # bit); widen before any arithmetic (level*100+seq*10 overflows int8)
@@ -156,7 +162,7 @@ def run_cascade(
     p_flat = jnp.broadcast_to(jnp.arange(M * M, dtype=jnp.int32)[None],
                               (H, M * M))
 
-    pot_overflow = jnp.sum(close.reshape(H, -1), axis=1) > P_POT
+    pot_overflow = jnp.sum(close.reshape(H, -1), axis=1) > pot
     # ONE 2-operand stable sort instead of argsort + three take_along_axis
     # gathers: per-row gathers of (H, M*M) lower to serialized TPU gathers
     # (~2.7 ms each at H=512, profiled 2026-08-18); lax.sort co-sorts the
@@ -164,7 +170,7 @@ def run_cascade(
     # the flattened insertion order, exactly like the stable argsort before.
     sv, s_flat = jax.lax.sort((orie, p_flat), dimension=1, num_keys=1,
                               is_stable=True)
-    sv, s_flat = sv[:, :P_POT], s_flat[:, :P_POT]
+    sv, s_flat = sv[:, :pot], s_flat[:, :pot]
     s_src = s_flat % M
     s_tgt = s_flat // M
     n_pot = jnp.sum(jnp.isfinite(sv), axis=1).astype(jnp.int32)
@@ -227,25 +233,14 @@ def run_cascade(
         longest[:, None]], axis=1).astype(jnp.int32)
 
     # ---- check 3: individual similarity over the constellation ----------
-    J = src_tab["cnt"].shape[2]
+    # The 12 stats channels arrive PRE-PACKED (ops/descriptor.pack_tab12,
+    # archived per scan as ScanDesc.tab12) so the per-pair lookup is ONE
+    # gather instead of nine — the pack itself used to be rebuilt from nine
+    # store gathers per cascade chunk, the single largest per-chunk cost on
+    # chip (+0.32 ms, scripts/cascade_split_bench.py 2026-08-20).
+    J = src_tab12.shape[2]
 
-    def pack_tab(tab):
-        # 12 f32 channels in ONE array so the per-pair lookup is ONE gather
-        # instead of nine (each (H, P)-from-(H, 4, J) gather lowered to a
-        # ~0.4 ms serialized TPU gather, profiled 2026-08-18); bools ride as
-        # 0/1 floats and convert back exactly
-        return jnp.stack([
-            tab["cnt"], tab["eig"][..., 0], tab["eig"][..., 1], tab["h"],
-            tab["comr"], tab["mean"][..., 0], tab["mean"][..., 1],
-            tab["vec1"][..., 0], tab["vec1"][..., 1],
-            tab["ecc"].astype(jnp.float32), tab["perc"],
-            tab["ok"].astype(jnp.float32)], axis=-1)     # (H, 4, J, 12)
-
-    def gather_tab(packed, lev, seq):
-        # lev in {1..4} -> row lev-1 ; out-of-range guarded by validity
-        li = jnp.clip(lev - 1, 0, packed.shape[1] - 1)
-        sj = jnp.clip(seq, 0, J - 1)
-        g = packed[jnp.arange(H)[:, None], li, sj]       # (H, P, 12)
+    def unpack12(g):
         return dict(
             cnt=g[..., 0],
             eig=jnp.stack([g[..., 1], g[..., 2]], axis=-1),
@@ -254,8 +249,11 @@ def run_cascade(
             vec1=jnp.stack([g[..., 7], g[..., 8]], axis=-1),
             ecc=g[..., 9] > 0.5, perc=g[..., 10], ok=g[..., 11] > 0.5)
 
-    s = gather_tab(pack_tab(src_tab), pair_level, pair_seq_src)
-    t = gather_tab(pack_tab(tgt_tab), pair_level, pair_seq_tgt)
+    # lev in {1..4} -> row lev-1 ; out-of-range guarded by validity
+    li = jnp.clip(pair_level - 1, 0, src_tab12.shape[1] - 1)
+    s = unpack12(src_tab12[jnp.arange(H)[:, None], li,
+                           jnp.clip(pair_seq_src, 0, J - 1)])   # (H, P, 12)
+    t = unpack12(tgt_tab12[li, jnp.clip(pair_seq_tgt, 0, J - 1)])
     indiv = check_sim_batched(s["cnt"], s["eig"], s["h"], s["comr"],
                               t["cnt"], t["eig"], t["h"], t["comr"], cont_sim)
     cstl1 = pair_valid0 & indiv & s["ok"] & t["ok"]

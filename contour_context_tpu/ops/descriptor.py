@@ -634,6 +634,42 @@ def gmm_summary(tab: dict, gmm_cfg: GMMOptConfig):
     return gmm_mask, auto_corr.astype(jnp.float32), gmm_overflow
 
 
+def pack_tab12(cnt, valid, mean, eig_vals, eig_vecs, vol3_mean, com_r,
+               ecc_feat, cont_perc):
+    """Pack the check-3 stats channels into ONE (4, J=10, 12) f32 table.
+
+    Covers the DIST_BIN_LAYERS levels x first 10 seqs (the slice the
+    reference's checkConstellCorrespSim reads, contour_mng.h:1124-1242).
+    Channel order [cnt, eig0, eig1, h, comr, mean0, mean1, vec1x, vec1y,
+    ecc, perc, ok]; bools ride as 0/1 floats and convert back exactly.
+    Stored per scan (ScanDesc.tab12) so the cascade's per-pair stats lookup
+    is ONE row gather from the archived store instead of nine small gathers
+    plus a per-chunk stack — the largest per-chunk cost in the on-chip
+    attribution (+0.32 ms/chunk, scripts/cascade_split_bench.py 2026-08-20).
+    """
+    from contour_context_tpu.config import DIST_BIN_LAYERS
+
+    lv = jnp.array(DIST_BIN_LAYERS, jnp.int32)
+    J = 10
+    sl = lambda a: a[lv, :J]
+    return jnp.stack([
+        sl(cnt).astype(jnp.float32),
+        sl(eig_vals)[..., 0], sl(eig_vals)[..., 1],
+        sl(vol3_mean), sl(com_r),
+        sl(mean)[..., 0], sl(mean)[..., 1],
+        sl(eig_vecs)[..., 0, 1], sl(eig_vecs)[..., 1, 1],
+        sl(ecc_feat).astype(jnp.float32), sl(cont_perc),
+        sl(valid).astype(jnp.float32)], axis=-1)
+
+
+def tab12_of(desc) -> jnp.ndarray:
+    """Recompute ScanDesc.tab12 from a single-scan ScanDesc's own fields
+    (checkpoint migration: pre-r4 files zero-fill the trailing leaf)."""
+    return pack_tab12(desc.cnt, desc.valid, desc.mean, desc.eig_vals,
+                      desc.eig_vecs, desc.vol3_mean, desc.com_r,
+                      desc.ecc_feat, desc.cont_perc)
+
+
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
@@ -678,4 +714,8 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
         gmm_mask=gmm_mask, auto_corr=auto_corr,
         pix_overflow=pix_overflow,
         gmm_overflow=gmm_overflow,
+        tab12=pack_tab12(tab["cnt"].astype(jnp.float32), tab["valid"],
+                         tab["mean"], tab["eig_vals"], tab["eig_vecs"],
+                         tab["vol3_mean"], tab["com_r"], tab["ecc_feat"],
+                         tab["cont_perc"]),
     )

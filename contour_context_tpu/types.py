@@ -49,3 +49,11 @@ class ScanDesc(NamedTuple):
     pix_overflow: jnp.ndarray  # () int32  ring-key pixels beyond cfg.pix_pool
     gmm_overflow: jnp.ndarray  # () int32  95%-area GMM ellipses beyond
     #                            max_gmm_ellipses (dropped from correlation)
+    # pre-packed check-3 stats table over the DIST_BIN_LAYERS levels:
+    # (4, J=10, 12) f32, channels [cnt, eig0, eig1, h, comr, mean0, mean1,
+    # vec1x, vec1y, ecc, perc, ok] (ops/descriptor.pack_tab12). DERIVED from
+    # the fields above and packed at build time so the cascade's per-pair
+    # stats lookup is ONE row gather instead of nine (+0.32 ms/chunk on-chip,
+    # scripts/cascade_split_bench.py 2026-08-20). load_chain recomputes it,
+    # so pre-r4 checkpoints stay loadable.
+    tab12: jnp.ndarray        # (4, 10, 12) f32

@@ -287,6 +287,32 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iter)
         return acc
 
+    # ---- W (chunk width) sensitivity of the REAL kernel at P_POT=512 -------
+    # per-scan cascade cost = ceil(aft1/W) * c(W); c(W) = a + b*W means wider
+    # chunks amortize the fixed overhead `a` at dense loads but cost more at
+    # KITTI-matched loads (1 live chunk either way) — measure both terms
+    for W2 in ((256,) if not smoke else ()):
+        gidx2 = jnp.asarray(np.arange(W2) % 8, jnp.int32)
+        level2 = jnp.asarray(1 + (np.arange(W2) % 2), jnp.int32)
+        ss2 = jnp.asarray(np.arange(W2) % 6, jnp.int32)
+        st2 = jnp.asarray((np.arange(W2) // 2) % 6, jnp.int32)
+
+        @functools.partial(jax.jit, static_argnames=("n_iter",))
+        def chained_w2(q_in, n_iter):
+            def body(acc, _):
+                one = 1.0 + 1e-30 * acc
+                qq = jax.tree.map(
+                    lambda a: a * one.astype(a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, q_in)
+                res = _gather_and_cascade_impl(
+                    store, qq, gidx2, level2, ss2, st2,
+                    jnp.ones((W2,), bool), thres_lb, cont_sim)
+                return (res.T_delta.sum() + res.pass3.sum()), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iter)
+            return acc
+
+        per_op(f"real_W{W2}_PPOT{casc_mod.P_POT}", chained_w2, q)
+
     pot0 = casc_mod.P_POT
     try:
         for pot in (512, 256, 128) if not smoke else (64,):

@@ -64,8 +64,8 @@ def main():
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
     from contour_context_tpu.db import (
         ContourDB, _append_impl, _build_descs_chunked, _cascade_chunked,
-        _device_fetch, _gather_gmm_impl, _search_impl, _select_hints,
-        _update_window_impl)
+        _check1_impl, _device_fetch, _gather_gmm_impl, _search_impl,
+        _select_hints, _update_window_impl)
     from contour_context_tpu.ops.candidate import (merge_proposals,
                                                    tidy_candidates)
     from contour_context_tpu.ops.descriptor import build_descriptor
@@ -347,6 +347,58 @@ def main():
             funnel[nm] = {"mean": round(float(v.mean()), 1),
                           "p90": float(np.percentile(v, 90)),
                           "max": float(v.max())}
+    # bit-adjacent pair-pool audit at headline hint density: the TRUE
+    # per-hint close-pair count (what ops/cascade.P_POT caps) over the 16
+    # revisit queries' check-1 survivors — the evidence config.p_pot's
+    # default rests on (cost scales ~O(p_pot^2): on-chip 512->256 saves
+    # ~0.07 ms/chunk, scripts/cascade_split_bench.py 2026-08-20)
+    @jax.jit
+    def pool_sizes(q):
+        gidx, seq_src, dist, valid = _search_impl(
+            keys_q, q.keys, searchable, q_levels, cfg.db.nnk,
+            cfg.db.topk_strategy)
+        Q, A, Kk = gidx.shape
+        lv = jnp.array(q_levels, jnp.int32)
+        level_f = jnp.broadcast_to(lv[:, None, None], (Q, A, Kk)).reshape(-1)
+        seq_tgt_f = jnp.broadcast_to(
+            jnp.arange(A, dtype=jnp.int32)[None, :, None],
+            (Q, A, Kk)).reshape(-1)
+        HC = min(cfg.db.max_check_cands, Q * A * Kk)
+        perm, hv, n_valid, _ = _select_hints(
+            valid.reshape(-1), dist.reshape(-1), HC)
+        g = gidx.reshape(-1)[perm]
+        l = level_f[perm]
+        ss = seq_src.reshape(-1)[perm]
+        st_ = seq_tgt_f[perm]
+        pass1 = _check1_impl(store, q, g, l, ss, st_, hv, cfg.db.cont_sim)
+        gi = jnp.where(hv, g, 0)
+        lc = jnp.clip(l, 0, store.nei_bit.shape[1] - 1)
+        sc = jnp.clip(ss, 0, store.nei_bit.shape[2] - 1)
+        tc = jnp.clip(st_, 0, q.nei_bit.shape[1] - 1)
+        sb = store.nei_bit[gi, lc, sc].astype(jnp.int32)
+        sv_ = store.nei_valid[gi, lc, sc]
+        tb_ = q.nei_bit[lc, tc].astype(jnp.int32)
+        tv_ = q.nei_valid[lc, tc]
+        close = (jnp.abs(sb[:, :, None] - tb_[:, None, :]) <= 1) \
+            & sv_[:, :, None] & tv_[:, None, :]
+        pool = jnp.sum(close, axis=(1, 2)).astype(jnp.int32)
+        return jnp.where(pass1, pool, -1)
+
+    pools = np.concatenate([
+        np.asarray(_device_fetch(pool_sizes(
+            jax.tree.map(lambda a: a[i], descs16)))) for i in range(16)])
+    pools = pools[pools >= 0]
+    pool_stats = None
+    if pools.size:
+        pool_stats = {"n_surv": int(pools.size),
+                      "p50": float(np.percentile(pools, 50)),
+                      "p90": float(np.percentile(pools, 90)),
+                      "p99": float(np.percentile(pools, 99)),
+                      "max": int(pools.max())}
+        log(f"pair-pool audit over {pools.size} check-1 survivors: "
+            f"p50={pool_stats['p50']:.0f} p99={pool_stats['p99']:.0f} "
+            f"max={pool_stats['max']}")
+
     total = (split["desc_build_vmap16"] + split["query_depth_full"]
              + split["append_window"])
     out = {
@@ -362,6 +414,7 @@ def main():
              "p90": float(np.percentile(hints_epoch, 90))}
             if hints_epoch.size else None),
         "pass_funnel_epoch": funnel or None,
+        "pair_pool_pass1": pool_stats,
         "elapsed_s": round(time.perf_counter() - T0, 1),
     }
     print(json.dumps(out), flush=True)

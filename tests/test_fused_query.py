@@ -114,6 +114,53 @@ def test_check1_prefilter_bit_identical():
     assert (recs[True][:, 0] > 0.5).sum() >= 1  # found
 
 
+def test_p_pot_cap_bit_identical_when_not_overflowing():
+    """config.p_pot (angular-window pair capacity, ops/cascade.P_POT when
+    None) is a cost knob: whenever no hint's bit-adjacent pair pool exceeds
+    the cap, the packed records are BIT-identical to the default — and when
+    a tiny cap truncates, overflow_pot discloses it."""
+    import dataclasses
+
+    from contour_context_tpu.config import ContourDBConfig
+    from contour_context_tpu.ops.descriptor import build_descriptor
+
+    world = make_world(11, n_structs=220, extent=160.0)
+    poses = [(10.0 * i, 0.0, 0.0) for i in range(8)]
+    poses += [(10.5, 0.8, 0.2), (30.0, -1.0, -0.15), (50.2, 0.7, 0.1)]
+
+    recs, pots = {}, {}
+    for pot in (None, 128, 4):
+        cfg = PipelineConfig(
+            cm=ContourManagerConfig(max_points=16384),
+            db=dataclasses.replace(ContourDBConfig(), p_pot=pot,
+                                   max_check_cands=96, cascade_chunk=32,
+                                   max_pass_hints=48))
+        db = ContourDB(cfg, capacity=len(poses) + 2)
+        rows = []
+        for i, pose in enumerate(poses):
+            pts = render_scan(world, pose, seed=500 + i)
+            desc = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                                    cfg.cm, cfg.gmm)
+            h = db.query_async(desc)
+            if h is not None:
+                rows.append(np.asarray(h.rec))
+                h.get()     # counters accumulate on handle completion
+            db.add_scan(desc, i, 6.0 * i)
+            db.push_and_balance(6.0 * i)
+        recs[pot] = np.stack(rows)
+        pots[pot] = db.counters["overflow_pot"]
+
+    # this world's pair pools stay under 128: cap-128 must be bit-identical
+    assert pots[None] == 0 and pots[128] == 0, pots
+    np.testing.assert_array_equal(recs[None], recs[128])
+    assert recs[None][:, 6].max() > 0           # hints actually flowed
+    assert (recs[None][:, 0] > 0.5).sum() >= 1  # and a loop closed
+    # a cap of 4 genuinely truncates (a closed loop needs >=6 pairs inside
+    # the angular window, so a survivor's pool exceeded 4) — the counter
+    # must disclose it
+    assert pots[4] > 0, pots
+
+
 @pytest.mark.slow
 def test_fused_matches_host_dynamic_thres():
     """Same parity under DYNAMIC_THRES=1 (rising lower bounds)."""
