@@ -26,13 +26,17 @@ and the r1 point of comparison) but is clearly labeled enqueue-side.
 Compares with the reference's single-thread C++ baseline on KITTI 08
 (10.8-11.2 ms/scan end-to-end, log/timing_cont2_paper.txt — see BASELINE.md).
 
-Output protocol (robust to driver-side timeouts): the HEADLINE JSON line is
-printed and flushed the moment the fused device-time measurement exists.
-Secondary phases (block mode, big-DB query scaling, map serving) are
-budget-gated by CONT2_BENCH_BUDGET (wall seconds, including compile and fill
-time); when all gated phases finish, ONE extended JSON line with the same
-headline fields plus the secondary metrics is printed last. Progress
-narration goes to stderr only.
+Output protocol (robust to driver-side timeouts AND tail truncation): every
+stdout line is a COMPACT JSON object (~1 KB) that carries the headline fields
+(metric/value/unit/vs_baseline) — the driver records the tail of stdout, so
+a huge line with the headline at the front is unverifiable (the r4 artifact
+BENCH_r04.json contained query_*/note but no `value`; VERDICT r4 weak #3).
+The long methodology text is emitted ONCE as its own `methodology` line up
+front and never repeated. The headline line prints the moment the fused
+device-time measurement exists; each completed secondary phase re-emits the
+compact summary with its numbers added, so the LAST line on stdout always
+holds everything measured so far, headline included. Progress narration goes
+to stderr only.
 """
 
 import json
@@ -282,6 +286,32 @@ def main():
     budget_s = (float(os.environ.get("CONT2_BENCH_BUDGET", "520"))
                 + switch_excess_s)
 
+    # one-time methodology line (stdout, compact lines only after this):
+    # documents what every later line's numbers mean without bloating them
+    print(json.dumps({"methodology": (
+        "All *_ms are pure device time: K data-dependent iterations chained "
+        "in ONE dispatch (lax.scan / fori), two K values differenced over a "
+        "true device fetch — dispatch/RPC/fetch overhead cancels "
+        "(block_until_ready does not reliably sync on this tunnel). "
+        "Workload: synthetic KITTI-scale scans, KITTI revisit geometry "
+        "(every timed scan closes a loop against ONE prior pass of its "
+        "lane; searchable store ~800->1200 scans across the timed epochs). "
+        "Hint density runs ~35x the reference's ~17.9 hits/scan (see "
+        "hints_per_scan) so the cascade load is conservative vs the 11 ms "
+        "baseline; matched_ms is the complementary number at a "
+        "reference-MATCHED cascade load (hint cap 32, found-rate in "
+        "'matched'). value = the dyn-trip chain executable, which IS the "
+        "production step_chain_async lowering (r5); scan_chain_diff_ms = "
+        "the legacy lax.scan lowering (step_chain_scan_async) differenced "
+        "at the same lengths. "
+        "batched_block16_prebuilt_ms excludes the descriptor build (NOT "
+        "comparable to the reference's 11 ms, which is 82% build); "
+        "block16_full_ms builds in-dispatch. query_*scan_db_ms are "
+        "zero-live-hint probes against tiled stores (probe hint counts in "
+        "query_probe_hints); localize_* serve 16-cloud blocks against "
+        "frozen maps. null secondary = skipped by CONT2_BENCH_BUDGET.")},
+    ), flush=True)
+
     def in_budget(need=0.0):
         """True if `need` more seconds still fit. Each phase passes its own
         worst-case COLD-cache cost (compile dominated; ~0 when the persistent
@@ -381,23 +411,8 @@ def main():
         f"(t{K_SMALL}={t_small * 1e3:.1f} ms, t{K_FILL}={t_big * 1e3:.1f} ms)")
 
     headline = {
-        "metric": "per-scan end-to-end loop-closure DEVICE time "
-                  "(synthetic KITTI-scale scans, KITTI revisit geometry: "
-                  "every timed scan closes a loop against ONE prior pass of "
-                  "its lane; searchable store grows ~800->1200 scans across "
-                  "the timed epochs — store-size scaling is measured "
-                  "separately up to 131072 scans (query_*scan_db_ms), and "
-                  "the search stage is store-size-insensitive next to the "
-                  "cascade; retrieval-hint "
-                  "density runs ABOVE the reference's ~17.9 hits/scan (see "
-                  "hints_per_scan in the final line) so the cascade load is "
-                  "conservative vs the 11 ms baseline — matched_ms is the "
-                  "complementary number at a reference-MATCHED cascade load "
-                  "(hint cap 32); fused sequential "
-                  "stream: descriptor + query + append + window per scan; K "
-                  "steps chained in ONE dispatch, two chain lengths "
-                  "differenced over a true device fetch — enqueue-side "
-                  "effects cancel)",
+        "metric": "per-scan end-to-end loop-closure DEVICE time, fused "
+                  "sequential stream (see methodology line)",
         "value": round(dt_fused_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / dt_fused_ms, 3),
@@ -444,32 +459,6 @@ def main():
             "n_compiles": compile_counter.count,
             "budget_s": budget_s,
             "elapsed_s": round(time.perf_counter() - T0, 1),
-            "note": "all *_ms are pure device time (chained-dispatch "
-                    "differencing over a true fetch); the headline chains "
-                    "run the runtime-trip-count _step_chain_dyn executable "
-                    "(fori/while lowering) — scan_chain_diff_ms is the "
-                    "production lax.scan executable (step_chain_async) "
-                    "differenced at the same chain lengths (and "
-                    "scan_chain132_raw_ms its raw big-chain wall time, "
-                    "compare chain_ms.t132), closing the loop-lowering "
-                    "question with a number. batched_block16_prebuilt_ms "
-                    "times the block chain over PRE-BUILT descriptors "
-                    "(query+append only — NOT comparable to the "
-                    "reference's 11 ms, which is 82% descriptor build); "
-                    "block16_full_ms builds descriptors IN-dispatch and is "
-                    "the comparable full-pipeline block number. matched_ms "
-                    "is the same fused stream with the cascade hint cap at "
-                    "32 (~1.8x the reference's ~17.9 hits/scan profile) — "
-                    "the reference-matched-workload headline; its found "
-                    "rate over the timed revisit epochs rides in "
-                    "'matched'. query_probe_hints reports each scaling "
-                    "probe's live n_hints (the store tiles a fixed-content "
-                    "prefix, so these are run-stable). "
-                    "fused_stream_enqueue_ms is the host submission rate "
-                    "of the one-dispatch-per-scan stream (the r1 "
-                    "methodology) — block_until_ready does not reliably "
-                    "sync on this tunnel. null secondary = skipped by "
-                    "CONT2_BENCH_BUDGET.",
         })
         print(json.dumps(extended), flush=True)
         return extended
@@ -744,10 +733,11 @@ def main():
             gc.collect()
 
     # ---- dyn-vs-scan executable cross-check (r2 advisor): the headline
-    # times the runtime-trip-count fori/while variant (_step_chain_dyn);
-    # the production sequential API step_chain_async compiles a lax.scan
-    # with static K. Timing the scan executable at K_FILL under the same
-    # dispatch+fetch form bounds any loop-lowering delta between the two.
+    # times the runtime-trip-count fori/while chain — which IS the
+    # production step_chain_async lowering as of r5 (VERDICT r4 #6: the
+    # published number is measured on the executable users call). This
+    # phase times the LEGACY lax.scan lowering (step_chain_scan_async) at
+    # the same chain lengths to keep the loop-lowering delta on record.
     # Runs LAST: it is a methodology bound, not a headline or capability
     # metric, and its compile is the most expendable. ------------------------
     if os.environ.get("CONT2_BENCH_SCANCHK", "1") == "1" and in_budget(200):
@@ -761,8 +751,8 @@ def main():
         best_scan = {K_SMALL: None, K_FILL: None}
         for k, base, ts_s in plan:
             t0 = time.perf_counter()
-            h = db.step_chain_async(pts_epoch[0][:k],
-                                    list(range(base, base + k)), ts_s)
+            h = db.step_chain_scan_async(pts_epoch[0][:k],
+                                         list(range(base, base + k)), ts_s)
             blk_handles.append(h)
             fetch1(h.recs)
             dt = time.perf_counter() - t0

@@ -228,6 +228,73 @@ def _topk_min_cover(d2m, k: int):
     return sv[..., :k], sc[..., :k]
 
 
+def _search_cover2(keys_q, q_keys, searchable_n, q_levels: Tuple[int, ...],
+                   k: int):
+    """Tile-min-cover search WITHOUT materializing the (Q, A, N*A) distance
+    matrix — the "cover2" strategy (ContourDBConfig.topk_strategy).
+
+    The plain cover path (_key_distances + _topk_min_cover) must gather the
+    covered entries FROM d2m, which forces XLA to materialize the full
+    distance matrix in HBM (340 MB at 131k scans) just so ~6400 of its
+    entries can be read back. Here stage 1 (masked distance + per-tile min)
+    fuses into one reduction over the key store — the only full-size HBM
+    read — and stage 2 gathers the k covering tiles' KEY COLUMNS (a few MB)
+    and recomputes their masked distances exactly. Element-exact vs the
+    cover path: the per-element FMA order is identical in both distance
+    computations, the tile selection key (min, tile index) is identical, and
+    the final lexicographic (value, column) sort is the same proof as
+    _topk_min_cover's. Zero-padded columns (store pad, tile pad) carry zero
+    keys -> row_valid False -> MAX_DIST_SQ, exactly like the cover path's
+    constant padding.
+
+    Returns (dist, idx, q_f32) with (dist, idx) as _topk_min would, plus the
+    f32 query keys for the caller's distance-bound computation.
+    Caller guarantees: N*A >= 4*TOPK_BLOCK, k <= (N*A)//TOPK_TILE."""
+    L, D, NA = keys_q.shape
+    A = q_keys.shape[1]
+    lv = jnp.array(q_levels, jnp.int32)
+    lo, nq = q_levels[0], len(q_levels)
+    if q_levels == tuple(range(lo, lo + nq)):
+        kt = jax.lax.slice_in_dim(keys_q, lo, lo + nq, axis=0)
+    else:
+        kt = keys_q[lv]
+    f32 = jnp.float32
+    q_f = q_keys[lv].astype(f32)                          # (nq, A, D)
+    T = TOPK_TILE
+    pad = (-NA) % T
+    ktp = (jnp.pad(kt, ((0, 0), (0, 0), (0, pad))) if pad else kt)
+    NAp = NA + pad
+    Bt = NAp // T
+    ktt = ktp.reshape(nq, D, Bt, T)
+    d2 = jnp.zeros((nq, A, Bt, T), f32)
+    for d in range(D):                                    # D=10, static
+        diff = (ktt[:, d][:, None].astype(f32)
+                - q_f[:, :, d][:, :, None, None])
+        d2 = d2 + diff * diff
+    row_valid = jnp.abs(ktt.astype(f32)).sum(1) > 0       # (nq, Bt, T)
+    colid = jnp.arange(NAp, dtype=jnp.int32).reshape(Bt, T)
+    col_ok = ((colid // A) < searchable_n) & (colid < NA)  # (Bt, T)
+    q_valid = jnp.abs(q_f).sum(-1) > 0                    # (nq, A)
+    ok = (row_valid[:, None] & col_ok[None, None]
+          & q_valid[..., None, None])
+    tmin = jnp.where(ok, d2, MAX_DIST_SQ).min(-1)         # (nq, A, Bt)
+    _, tidx = jax.lax.top_k(-tmin, k)          # ties: lower tile index first
+    cols = (tidx.astype(jnp.int32)[..., None] * T
+            + jnp.arange(T, dtype=jnp.int32)).reshape(nq, A, k * T)
+    ktg = jnp.take_along_axis(ktp[:, :, None, :], cols[:, None, :, :],
+                              axis=3).astype(f32)         # (nq, D, A, k*T)
+    d2g = jnp.zeros((nq, A, k * T), f32)
+    for d in range(D):
+        diff = ktg[:, d] - q_f[:, :, d][:, :, None]
+        d2g = d2g + diff * diff
+    rv_g = jnp.abs(ktg).sum(1) > 0
+    ok_g = (rv_g & ((cols // A) < searchable_n) & (cols < NA)
+            & q_valid[..., None])
+    vals = jnp.where(ok_g, d2g, MAX_DIST_SQ)
+    sv, sc = jax.lax.sort([vals, cols], dimension=-1, num_keys=2)
+    return sv[..., :k], sc[..., :k], q_f
+
+
 def _topk_min(d2m, k: int, strategy: str = "block"):
     """Exact min-k over the last axis, ascending, ties by lower index —
     identical results to `-lax.top_k(-d2m, k)` at every size and strategy.
@@ -256,6 +323,8 @@ def _topk_min(d2m, k: int, strategy: str = "block"):
     additionally requires k tiles to exist (k <= M/TOPK_TILE), else the
     block strategy is used."""
     M = d2m.shape[-1]
+    if strategy == "cover2":    # the fused lowering lives in _search_cover2;
+        strategy = "cover"      # d2m-shaped callers get its cover twin
     if M < 4 * TOPK_BLOCK or k > TOPK_BLOCK:
         neg, idx = jax.lax.top_k(-d2m, k)
         return -neg, idx.astype(jnp.int32)
@@ -287,13 +356,18 @@ def _search_impl(keys_q, q_keys, searchable_n, q_levels: Tuple[int, ...],
     """
     A = q_keys.shape[1]
     NA = keys_q.shape[2]
-    d2m, q = _key_distances(keys_q, q_keys, searchable_n, q_levels)
+    nnk = min(nnk, NA)      # tiny DBs have fewer rows than the k bound
+    if (strategy == "cover2" and NA >= 4 * TOPK_BLOCK
+            and nnk <= NA // TOPK_TILE):
+        dist, idx, q = _search_cover2(keys_q, q_keys, searchable_n,
+                                      q_levels, nnk)
+    else:
+        d2m, q = _key_distances(keys_q, q_keys, searchable_n, q_levels)
+        dist, idx = _topk_min(d2m, nnk, strategy)           # ascending distance
     k0, k1, k2 = q[..., 0], q[..., 1], q[..., 2]
     ub = (jnp.maximum((k0 - k0 * 0.8) ** 2, (k0 - k0 / 0.8) ** 2)
           + jnp.maximum((k1 - k1 * 0.8) ** 2, (k1 - k1 / 0.8) ** 2)
           + jnp.maximum((k2 - k2 * 0.8 * 0.75) ** 2, (k2 - k2 / (0.8 * 0.75)) ** 2))
-    nnk = min(nnk, NA)      # tiny DBs have fewer rows than the k bound
-    dist, idx = _topk_min(d2m, nnk, strategy)               # ascending distance
     valid = dist < jnp.minimum(ub[..., None], MAX_DIST_SQ)
     gidx = idx // A
     seq_src = idx % A
@@ -652,7 +726,8 @@ def _unpack_record(v: np.ndarray) -> QueryRecord:
 
 
 def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
-                     pcfg: PipelineConfig, keys_q=None):
+                     pcfg: PipelineConfig, keys_q=None,
+                     depth: Optional[str] = None):
     """queryRangedKNN (contour_db.h:698-811) as one fused computation.
 
     Rows below `searchable_n` are searchable. Everything (store, query) is
@@ -661,6 +736,13 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     (_keys_to_q_layout) — when omitted it is derived in-graph from
     store.keys (bit-identical values, but pays the per-dispatch layout
     transpose production avoids; the compat path for tests).
+
+    `depth` (trace-time) truncates the computation for stage attribution
+    (scripts/headline_split_bench.py): "search" / "hints" / "check1" /
+    "cascade" / "merge" / "init" return a scalar probe of the live outputs
+    at that depth instead of the packed record, so the split benchmarks time
+    the EXACT production graph prefixes — a hand-copied replica drifted from
+    the shipping path twice in r3/r4. None (production) returns the record.
     """
     cfg = pcfg
     q_levels = tuple(cfg.db.q_levels)
@@ -672,6 +754,8 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     gidx, seq_src, dist, valid = _search_impl(
         keys_q, query.keys, searchable_n, q_levels, nnk,
         cfg.db.topk_strategy)
+    if depth == "search":
+        return (dist.sum() + gidx.sum() + valid.sum()).astype(jnp.float32)
     Q, A, K = gidx.shape
     Hfull = Q * A * K
     lv = jnp.array(q_levels, jnp.int32)
@@ -687,6 +771,8 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
         valid_f, dist.reshape(-1), HC)
     g_h, l_h = gidx_f[perm], level_f[perm]
     ss_h, st_h = seq_src_f[perm], seq_tgt_f[perm]
+    if depth == "hints":
+        return (perm.sum() + g_h.sum() + n_valid).astype(jnp.float32)
 
     # check-1 prefilter (config.check1_prefilter): compute the cheap anchor
     # checkSim for ALL selected hints, then compact its survivors — in hint
@@ -712,10 +798,15 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     else:
         aft1 = None
         hv_run, n_run = hv, n_valid
+    if depth == "check1":
+        return (n_run + hv_run.sum() + g_h.sum()).astype(jnp.float32)
 
     res = _cascade_chunked(
         store, query, g_h, l_h, ss_h, st_h, hv_run, n_run,
         cfg.thres_lb, cfg.db.cont_sim, chunkw, cfg.db.p_pot)
+    if depth == "cascade":
+        return (res.T_delta.sum() + res.pass3.sum()
+                + res.pair_area_perc.sum()).astype(jnp.float32)
 
     if cfg.db.dynamic_thres:
         # DYNAMIC_THRES=1: sequential re-gating with rising bars
@@ -729,6 +820,8 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
         pass3_d, g_h, res.T_delta, res.pair_valid, res.pair_level,
         res.pair_seq_src, res.pair_seq_tgt, res.pair_area_perc,
         n_cand_max=cfg.db.max_cand_poses, n_pass_max=cfg.db.max_pass_hints)
+    if depth == "merge":
+        return (st.prop_T.sum() + st.n_cand).astype(jnp.float32)
 
     tidy = tidy_candidates(
         st, cfg.thres_lb.sim_post.area_perc, cfg.thres_lb.sim_post.neg_est_dist,
@@ -742,6 +835,8 @@ def _query_step_impl(store: ScanDesc, query: ScanDesc, searchable_n,
     tgt_gmm = gmm_from_desc(query, cfg.gmm)
     corr0, selp = init_correlation(src_gmm, tgt_gmm, T_sel,
                                    scale=cfg.gmm.cov_dilate_scale)
+    if depth == "init":
+        return (corr0.sum() + T_sel.sum()).astype(jnp.float32)
     if cfg.db.dynamic_thres:
         keep = dynamic_post_scan(tidy.in_use, tidy.area, tidy.neg_d, corr0,
                                  cfg.thres_lb.sim_post, cfg.thres_ub.sim_post)
@@ -1232,11 +1327,17 @@ def _stream_savez(path: str, scalars: dict, store: ScanDesc,
                   since: int, n: int, chunk_bytes: int) -> None:
     """Write an npz (np.load-compatible) with the store leaves streamed from
     device in row blocks of <= chunk_bytes — the save never materializes a
-    whole leaf on host, and no single D2H transfer exceeds the block size."""
+    whole leaf on host, and no single D2H transfer exceeds the block size.
+
+    DERIVED leaves (tab12 — recomputed unconditionally by load_chain) are
+    skipped: load_chain zero-fills missing members and rebuilds them, so
+    persisting the bytes (+1.9 KB/scan) would be dead weight in every
+    checkpoint (r4 advisor finding)."""
     import zipfile
 
     from numpy.lib import format as npf
 
+    skip = {ScanDesc._fields.index("tab12")}
     rows = n - since
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         import io
@@ -1246,6 +1347,8 @@ def _stream_savez(path: str, scalars: dict, store: ScanDesc,
             np.save(buf, np.asarray(val))
             zf.writestr(name + ".npy", buf.getvalue())
         for i, leaf in enumerate(jax.tree.leaves(store)):
+            if i in skip:
+                continue
             row_bytes = max(1, int(np.prod(leaf.shape[1:])) * leaf.dtype.itemsize)
             step = max(1, chunk_bytes // row_bytes)
             header = {
@@ -1615,9 +1718,10 @@ class ContourDB:
         # the search-layout copy is derived, not persisted (checkpoints stay
         # format-compatible); one transpose at load time
         db.keys_q = _keys_to_q_layout(db.store.keys)
-        # tab12 is derived from the other fields: recompute it so pre-r4
-        # checkpoints (whose trailing leaf zero-filled above) load correctly;
-        # for current files this reproduces the stored values exactly
+        # tab12 is derived from the other fields and NOT persisted (saves
+        # skip the leaf; pre-r5 files that do carry it are overwritten):
+        # recompute reproduces build_descriptor's packed values bit-exactly
+        # (tests/test_checkpoint.py::test_load_recomputes_tab12)
         from contour_context_tpu.ops.descriptor import tab12_of
 
         db.store = db.store._replace(tab12=jax.vmap(tab12_of)(db.store))
@@ -1718,13 +1822,27 @@ class ContourDB:
         return BlockHandle(recs, self, row0=row0)
 
     def step_chain_async(self, points_k, seqs, ts_k) -> "BlockHandle":
-        """K sequential fused steps in ONE dispatch (see _step_chain).
+        """K sequential fused steps in ONE dispatch.
 
         `points_k` is (K, max_points, 4) (f32 or q16 wire format), `ts_k`
         a (K,) f32 of timestamps. Exact per-scan sequential semantics for
         ANY timestamp spacing (unlike process_block_async, which requires
         the >= min_elapse gap for its batched-query parity). One upload +
-        one dispatch per K scans: the lowest-overhead sequential path."""
+        one dispatch per K scans: the lowest-overhead sequential path.
+
+        PRODUCTION LOWERING = the dynamic-trip-count chain (_step_chain_dyn)
+        with k = K: the exact executable bench.py's headline times (VERDICT
+        r4 #6 — the published number must be measured on the executable
+        users call), and one compile serves every k <= buffer rows. The
+        legacy lax.scan lowering stays available as step_chain_scan_async
+        (record-parity pinned by test_step_chain_dyn_matches_step_chain)."""
+        return self.step_chain_dyn_async(points_k, seqs, ts_k)
+
+    def step_chain_scan_async(self, points_k, seqs, ts_k) -> "BlockHandle":
+        """step_chain_async's LEGACY lax.scan lowering (see _step_chain):
+        static chain length K (one compile per K), stacked records output.
+        Kept for the loop-lowering A/B (bench.py scan cross-check phase) and
+        as the lax.scan reference for the dyn-parity test."""
         K = int(ts_k.shape[0])
         assert K == len(seqs)
         if self.store is None:
@@ -1959,7 +2077,7 @@ class ContourDB:
             self.store, query,
             jnp.asarray(gidx_h), jnp.asarray(level_h), jnp.asarray(seqs_h),
             jnp.asarray(seq_tgt_h), jnp.asarray(valid_h),
-            cfg.thres_lb, cfg.db.cont_sim)
+            cfg.thres_lb, cfg.db.cont_sim, cfg.db.p_pot)
         if profiler:
             profiler.record("Constell")
 

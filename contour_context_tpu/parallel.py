@@ -44,12 +44,23 @@ def sharded_search(db_keys, q_keys, searchable_n,
     q_keys   (L, A, 10) replicated; searchable_n scalar (global scan count).
     Returns (gidx, seq_src, dist, valid) each (Q, A, nnk) — identical to the
     single-chip ContourDB._search result (db.py), devices permitting.
+
+    N need NOT divide the mesh size: shard_map requires even shards, so a
+    non-divisible N is zero-padded in-graph to the next multiple (zero key
+    rows are already the invalid sentinel — row_valid masks them, and any
+    padded row that sneaks into a shard's top-k carries MAX_DIST_SQ and
+    fails the validity bound). Exercised by dryrun_multichip's uneven case
+    (N = 2*mesh+2).
     """
     lv = jnp.array(q_levels, jnp.int32)
     A = db_keys.shape[2]
+    n_dev = mesh.devices.size
+    pad = (-db_keys.shape[0]) % n_dev
+    if pad:
+        db_keys = jnp.concatenate(
+            [db_keys, jnp.zeros((pad,) + db_keys.shape[1:], db_keys.dtype)])
     # small shards can hold fewer rows than the k bound (single-chip twin
     # clamps identically in db._search_impl)
-    n_dev = mesh.devices.size
     nnk = min(nnk, (db_keys.shape[0] // n_dev) * A)
 
     def local(db_rows, q, n_searchable):

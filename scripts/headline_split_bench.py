@@ -63,14 +63,10 @@ def main():
 
     from contour_context_tpu.config import ContourManagerConfig, PipelineConfig
     from contour_context_tpu.db import (
-        ContourDB, _append_impl, _build_descs_chunked, _cascade_chunked,
-        _check1_impl, _device_fetch, _gather_gmm_impl, _search_impl,
-        _select_hints, _update_window_impl)
-    from contour_context_tpu.ops.candidate import (merge_proposals,
-                                                   tidy_candidates)
+        ContourDB, _append_impl, _build_descs_chunked, _check1_impl,
+        _device_fetch, _key_distances, _keys_to_q_layout, _query_step_impl,
+        _search_impl, _select_hints, _update_window_impl)
     from contour_context_tpu.ops.descriptor import build_descriptor
-    from contour_context_tpu.ops.gmm import (gmm_from_desc, init_correlation,
-                                             optimize_correlation)
     from contour_context_tpu.utils.io import pad_points
 
     smoke = os.environ.get("CONT2_SPLIT_SMOKE", "0") == "1"
@@ -233,64 +229,46 @@ def main():
     # each chain iteration queries descs16[i % 16] (fresh scan each step, so
     # the cascade load varies across iterations exactly like the headline's
     # sequential stream); the accumulator makes iterations data-dependent.
-    N = store.keys.shape[0]
+    # Depths run the PRODUCTION graph prefixes (db._query_step_impl's
+    # trace-time `depth` gates) — the r4 split's hand-copied replica ran the
+    # cascade unprefiltered at P_POT=512, i.e. NOT the shipping config.
     q_levels = tuple(cfg.db.q_levels)
+    DEPTHS = ("search", "hints", "check1", "cascade", "merge", "init", "full")
+    import dataclasses
 
-    def query_depth(q, depth: str):
-        gidx, seq_src, dist, valid = _search_impl(
-            keys_q, q.keys, searchable, q_levels, cfg.db.nnk,
-            cfg.db.topk_strategy)
-        if depth == "search":
-            return dist.sum() + gidx.sum()
-        Q, A, Kk = gidx.shape
-        lv = jnp.array(q_levels, jnp.int32)
-        level_f = jnp.broadcast_to(lv[:, None, None], (Q, A, Kk)).reshape(-1)
-        seq_tgt_f = jnp.broadcast_to(
-            jnp.arange(A, dtype=jnp.int32)[None, :, None],
-            (Q, A, Kk)).reshape(-1)
-        gidx_f = gidx.reshape(-1)
-        seq_src_f = seq_src.reshape(-1)
-        HC = min(cfg.db.max_check_cands, Q * A * Kk)
-        perm, hv, n_valid, ovf = _select_hints(
-            valid.reshape(-1), dist.reshape(-1), HC)
-        if depth == "hints":
-            return perm.sum() + n_valid
-        res = _cascade_chunked(
-            store, q, gidx_f[perm], level_f[perm], seq_src_f[perm],
-            seq_tgt_f[perm], hv, n_valid, cfg.thres_lb, cfg.db.cont_sim,
-            cfg.db.cascade_chunk)
-        if depth == "cascade":
-            return (res.T_delta.sum() + res.pass3.sum()
-                    + res.pair_area_perc.sum())
-        st = merge_proposals(
-            res.pass3, gidx_f[perm], res.T_delta, res.pair_valid,
-            res.pair_level, res.pair_seq_src, res.pair_seq_tgt,
-            res.pair_area_perc, n_cand_max=cfg.db.max_cand_poses,
-            n_pass_max=cfg.db.max_pass_hints)
-        if depth == "merge":
-            return st.prop_T.sum() + st.n_cand
-        tidy = tidy_candidates(
-            st, cfg.thres_lb.sim_post.area_perc,
-            cfg.thres_lb.sim_post.neg_est_dist,
-            cfg.cm.n_row, cfg.cm.n_col, cfg.cm.reso_row, cfg.cm.reso_col)
-        cg = jnp.clip(st.cand_gidx, 0, N - 1)
-        src_gmm = _gather_gmm_impl(store, cg, tuple(cfg.gmm.levels),
-                                   cfg.gmm.max_gmm_ellipses)
-        tgt_gmm = gmm_from_desc(q, cfg.gmm)
-        corr0, selp = init_correlation(src_gmm, tgt_gmm, tidy.T_sel,
-                                       scale=cfg.gmm.cov_dilate_scale)
-        if depth == "init":
-            return corr0.sum() + tidy.T_sel.sum()
-        keep = tidy.alive & (corr0 >= cfg.thres_lb.sim_post.correlation)
-        C = st.cand_gidx.shape[0]
-        F = min(cfg.db.max_fine_opt, C)
-        rank = jnp.where(keep, corr0, -jnp.inf)
-        topv, topi = jax.lax.top_k(rank, F)
-        src_f = jax.tree.map(lambda a: a[topi], src_gmm)
-        corr_f, T_f = optimize_correlation(
-            src_f, tgt_gmm, tidy.T_sel[topi], selp[topi],
-            scale=cfg.gmm.cov_dilate_scale, iters=cfg.gmm.gn_iters)
-        return corr_f.sum() + T_f.sum()
+    from contour_context_tpu.db import _search_cover2
+    cfg_c2 = dataclasses.replace(
+        cfg, db=dataclasses.replace(cfg.db, topk_strategy="cover2"))
+
+    def query_depth(q, depth: str, store_=None, keys_q_=None, searchable_=None):
+        store_ = store if store_ is None else store_
+        keys_q_ = keys_q if keys_q_ is None else keys_q_
+        searchable_ = searchable if searchable_ is None else searchable_
+        if depth == "search_cover2":
+            dist, idx, _qf = _search_cover2(keys_q_, q.keys, searchable_,
+                                            q_levels, cfg.db.nnk)
+            return dist.sum() + idx.sum()
+        if depth == "full_cover2":
+            return _query_step_impl(store_, q, searchable_, cfg_c2,
+                                    keys_q_).sum()
+        if depth == "dist":
+            d2m, _ = _key_distances(keys_q_, q.keys, searchable_, q_levels)
+            return d2m.sum()
+        if depth == "tilemin":
+            d2m, _ = _key_distances(keys_q_, q.keys, searchable_, q_levels)
+            M = d2m.shape[-1]
+            T = 128
+            pad = (-M) % T
+            if pad:
+                d2m = jnp.pad(d2m, ((0, 0),) * (d2m.ndim - 1) + ((0, pad),),
+                              constant_values=1e6)
+            return d2m.reshape(d2m.shape[:-1]
+                               + ((M + pad) // T, T)).min(-1).sum()
+        if depth == "full":
+            return _query_step_impl(store_, q, searchable_, cfg,
+                                    keys_q_).sum()
+        return _query_step_impl(store_, q, searchable_, cfg, keys_q_,
+                                depth=depth)
 
     @functools.partial(jax.jit, static_argnames=("depth", "n_iter"))
     def chained_depth(descs, n_iter, depth):
@@ -306,7 +284,7 @@ def main():
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
     prev = 0.0
-    for depth in ("search", "hints", "cascade", "merge", "init", "full"):
+    for depth in DEPTHS:
         def f(descs, n_iter, d=depth):
             return chained_depth(descs, n_iter, d)
         ms = per_op(f"query_depth_{depth}", f, 2, 18, 1.0, descs16)
@@ -399,6 +377,100 @@ def main():
             f"p50={pool_stats['p50']:.0f} p99={pool_stats['p99']:.0f} "
             f"max={pool_stats['max']}")
 
+    # ---- big-store phase (VERDICT r4 #2): the SAME production depth gates
+    # against a tiled city-scale store, to attribute the store-capacity-
+    # dependent query floor (r4: ~6.1 ms at 131072 scans vs ~2.1 at 8192,
+    # with no stage on record explaining the gap). Tiles the deterministic
+    # fill prefix exactly like bench.py's bigdb phase. Three probes:
+    #   far   — a scan from an unfilled lane (TRUE zero-hint floor),
+    #   epoch — a revisit-lane scan (bench.py's query_*scan_db_ms analog),
+    #   dup   — a fill scan verbatim (distance-0 rows -> cap-dense hints).
+    big_out = {}
+    big_sizes = [int(x) for x in
+                 os.environ.get("CONT2_SPLIT_BIGDB", "131072").split(",")
+                 if x.strip() and int(x) > 0]
+    if smoke:
+        big_sizes = [4096] if big_sizes else []
+    for n_db in big_sizes:
+        log(f"bigdb phase: tiling store to {n_db} scans")
+        reps_t = -(-n_db // n_fill)
+        store_b = jax.tree.map(
+            lambda a: jnp.tile(a[:n_fill],
+                               (reps_t,) + (1,) * (a.ndim - 1))[:n_db],
+            db.store)
+        keys_q_b = jax.jit(_keys_to_q_layout)(store_b.keys)
+        searchable_b = jnp.int32(n_db - 32)
+        kq_bf16 = keys_q_b.astype(jnp.bfloat16)
+
+        probes = {
+            "far": build_descriptor(devpad(jax.device_put(
+                pad_points(render_scan(
+                    world, (-264.0, -300.0 + 120.0 * 9, 0.0), seed=77),
+                    P_C))[None])[0], cfg.cm, cfg.gmm),
+            "epoch": jax.tree.map(lambda a: a[0], descs16),
+            "dup": jax.tree.map(
+                lambda a: a[4],
+                build16(devpad(jax.device_put(clouds_fill[1][16:32])))),
+        }
+        full_rec = jax.jit(lambda q: _query_step_impl(
+            store_b, q, searchable_b, cfg, keys_q_b))
+
+        @functools.partial(jax.jit, static_argnames=("depth", "n_iter",
+                                                     "bf16"))
+        def chained_one(q, n_iter, depth, bf16=False):
+            kq = kq_bf16 if bf16 else keys_q_b
+
+            def body(acc, _):
+                one = 1.0 + 1e-30 * acc
+                qq = jax.tree.map(
+                    lambda a: a * one.astype(a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, q)
+                return query_depth(qq, depth, store_b, kq,
+                                   searchable_b).astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                  length=n_iter)
+            return acc
+
+        kb_small, kb_big = (1, 3) if smoke else (2, 26)
+        for pname, plan in (
+                ("far", ("dist", "tilemin", "search", "hints", "check1",
+                         "cascade", "merge", "init", "full")),
+                ("epoch", ("search", "full")),
+                ("dup", ("search", "hints", "check1", "cascade", "merge",
+                         "init", "full"))):
+            q = probes[pname]
+            rec = np.asarray(_device_fetch(full_rec(q)))
+            big_out[f"{n_db}_{pname}_funnel"] = {
+                "n_hints": int(rec[6]), "aft1": int(rec[7]),
+                "aft2": int(rec[8]), "aft3": int(rec[9])}
+            log(f"bigdb {n_db} probe {pname}: hints={int(rec[6])} "
+                f"aft1={int(rec[7])} aft2={int(rec[8])} aft3={int(rec[9])}")
+            prev = 0.0
+            for depth in plan:
+                def f(qq, n_iter, d=depth):
+                    return chained_one(qq, n_iter, d)
+                ms = per_op(f"big{n_db}_{pname}_{depth}", f,
+                            kb_small, kb_big, 1.0, q)
+                log(f"   bigdb delta [{pname}/{depth}]: {ms - prev:+.3f} ms")
+                big_out[f"{n_db}_{pname}_delta_{depth}"] = round(ms - prev, 3)
+                prev = ms
+        # A/B rows (not in the delta chains): the fused cover2 search
+        # lowering and bf16 search-layout keys (the open PARITY claim)
+        for pname, depth, bf16 in (
+                ("far", "search_cover2", False),
+                ("far", "full_cover2", False),
+                ("dup", "full_cover2", False),
+                ("far", "dist", True),
+                ("far", "search", True),
+                ("far", "search_cover2", True)):
+            def fb(qq, n_iter, d=depth, b=bf16):
+                return chained_one(qq, n_iter, d, bf16=b)
+            per_op(f"big{n_db}_{pname}_{depth}" + ("_bf16" if bf16 else ""),
+                   fb, kb_small, kb_big, 1.0, probes[pname])
+        del store_b, keys_q_b, kq_bf16, probes, full_rec
+        import gc
+        gc.collect()
+
     total = (split["desc_build_vmap16"] + split["query_depth_full"]
              + split["append_window"])
     out = {
@@ -415,6 +487,7 @@ def main():
             if hints_epoch.size else None),
         "pass_funnel_epoch": funnel or None,
         "pair_pool_pass1": pool_stats,
+        "bigdb": big_out or None,
         "elapsed_s": round(time.perf_counter() - T0, 1),
     }
     print(json.dumps(out), flush=True)

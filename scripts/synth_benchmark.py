@@ -22,6 +22,14 @@ import numpy as np
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
+# CONT2_PLATFORM=cpu forces the CPU backend. The env var JAX_PLATFORMS is
+# TOO LATE on this harness (the axon sitecustomize imports jax at
+# interpreter start); jax.config.update works because backends init lazily.
+if os.environ.get("CONT2_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["CONT2_PLATFORM"])
+
 
 def build_trajectory(n_scans: int, rng) -> list:
     """A loopy path: several out-and-back excursions over a street grid."""

@@ -182,8 +182,8 @@ def test_load_migrates_legacy_dtypes(tmp_path):
     z = dict(np.load(p))
     from contour_context_tpu.types import ScanDesc
     for i, name in enumerate(ScanDesc._fields):
-        a = z[f"store_{i}"]
-        if a.dtype in (np.int8, np.int16):
+        a = z.get(f"store_{i}")        # derived leaves (tab12) are not saved
+        if a is not None and a.dtype in (np.int8, np.int16):
             z[f"store_{i}"] = a.astype(np.int32)
     legacy = str(tmp_path / "legacy.npz")
     np.savez(legacy, **z)
@@ -204,6 +204,60 @@ def test_load_migrates_legacy_dtypes(tmp_path):
                    cfg.cm.max_points), cfg.cm, cfg.gmm)
     r = db2.query_ranged_knn(q)
     assert r is not None and db2.seq_of_gidx[r[0]] == 1
+
+
+def test_load_recomputes_tab12(tmp_path):
+    """The derived tab12 leaf is NOT persisted (r4 advisor: load recomputes
+    it unconditionally, so stored bytes were dead weight), and the pre-r4
+    migration path (file without the trailing leaf -> zero-fill -> tab12_of
+    recompute) must reproduce build_descriptor's packed table bit-exactly."""
+    from contour_context_tpu.types import ScanDesc
+
+    cfg = PipelineConfig(cm=ContourManagerConfig(max_points=16384))
+    world = make_world(11, n_structs=220, extent=160.0)
+
+    db = ContourDB(cfg, capacity=8)
+    descs = []
+    for i in range(6):
+        pts = render_scan(world, (10.0 * i, 0.0, 0.0), seed=500 + i)
+        d = build_descriptor(pad_points(pts, cfg.cm.max_points),
+                             cfg.cm, cfg.gmm)
+        descs.append(d)
+        db.add_scan(d, i, 6.0 * i)
+        db.push_and_balance(6.0 * i)
+    p = str(tmp_path / "map.npz")
+    db.save(p)
+
+    # new saves omit the derived leaf entirely
+    tab12_idx = ScanDesc._fields.index("tab12")
+    z = np.load(p)
+    assert f"store_{tab12_idx}" not in z.files
+    # ... and load rebuilds it to exactly what build_descriptor packed
+    db2 = ContourDB.load(p, cfg)
+    for i, d in enumerate(descs):
+        np.testing.assert_array_equal(np.asarray(db2.store.tab12[i]),
+                                      np.asarray(d.tab12))
+
+    # legacy (pre-r5) file WITH a persisted tab12 leaf — even a stale one —
+    # loads with the recomputed values, not the stored bytes
+    zd = dict(z)
+    stale = np.zeros((db.n,) + tuple(descs[0].tab12.shape), np.float32)
+    zd[f"store_{tab12_idx}"] = stale
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(legacy, **zd)
+    db3 = ContourDB.load(legacy, cfg)
+    for i, d in enumerate(descs):
+        np.testing.assert_array_equal(np.asarray(db3.store.tab12[i]),
+                                      np.asarray(d.tab12))
+
+    # the restored DB queries identically to the original (tab12 feeds the
+    # cascade's check-3 lookup)
+    q = build_descriptor(
+        pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
+                   cfg.cm.max_points), cfg.cm, cfg.gmm)
+    r0, r1 = db.query_ranged_knn(q), db3.query_ranged_knn(q)
+    assert r0 is not None and r1 is not None and r0[0] == r1[0]
+    np.testing.assert_allclose(r0[1], r1[1], rtol=1e-6)
 
 
 def test_merge_sessions_serving_map(tmp_path):

@@ -58,6 +58,45 @@ def test_topk_min_two_stage_exact():
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_idx))
 
 
+def test_search_cover2_matches_cover():
+    """The fused "cover2" search lowering (db._search_cover2 — tile-min
+    without materializing the distance matrix, key-column re-gather) must
+    equal the "cover" and "block" strategies element-for-element: hits,
+    distances, indices, validity, tie order — including zero (invalid) key
+    rows, a searchable prefix, tie values, and the non-divisible tile pad."""
+    import jax.numpy as jnp
+
+    from contour_context_tpu.db import TOPK_BLOCK, _search_impl
+
+    rng = np.random.default_rng(11)
+    A, D, L = 6, 10, 6
+    N = (4 * TOPK_BLOCK) // A + 35          # NA non-divisible by TOPK_TILE
+    NA = N * A
+    keys = rng.uniform(0.5, 4.0, (L, D, NA)).astype(np.float32)
+    keys[:, :, ::5] = np.round(keys[:, :, ::5] * 2) / 2     # value ties
+    keys[:, :, 7::13] = 0.0                                 # invalid rows
+    q_keys = rng.uniform(0.5, 4.0, (L, A, D)).astype(np.float32)
+    q_keys[2, 3] = 0.0                                      # invalid anchor
+    # plant exact duplicates of a query key -> distance-0 ties
+    keys[1, :, 1200] = q_keys[1, 0]
+    keys[1, :, 1201] = q_keys[1, 0]
+    searchable = jnp.int32(N - 50)
+    out = {}
+    for strategy in ("block", "cover", "cover2"):
+        out[strategy] = _search_impl(jnp.asarray(keys), jnp.asarray(q_keys),
+                                     searchable, (1, 2, 3), 50, strategy)
+    for strategy in ("cover", "cover2"):
+        for a, b, nm in zip(out["block"], out[strategy],
+                            ("gidx", "seq", "dist", "valid")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{strategy}:{nm}")
+    # the planted duplicates are found, in index order
+    g, s, d, v = (np.asarray(x) for x in out["cover2"])
+    assert v[0, 0, 0] and v[0, 0, 1]
+    assert (g[0, 0, 0], s[0, 0, 0]) == (200, 0) and d[0, 0, 0] == 0.0
+    assert (g[0, 0, 1], s[0, 0, 1]) == (200, 1) and d[0, 0, 1] == 0.0
+
+
 def test_topk_min_k_above_block_falls_back():
     """k > TOPK_BLOCK (e.g. range_search cap > 4096) must fall back to the
     exact single-stage path: stage 1 of the two-stage reduction cannot
