@@ -236,6 +236,14 @@ class ContourDBConfig:
                                   # count drops from ceil(n_valid/W) to
                                   # ceil(aft1/W). Only active when the
                                   # cascade actually runs chunked.
+    desc_batch: int = 16          # chain lowering: descriptor builds inside
+                                  # step_chain/_dyn are vmapped in sub-batches
+                                  # of this many scans (db._build_descs_chunked).
+                                  # 16 won on-chip in r3 when the CC stage was
+                                  # op-count-bound; re-A/B'd whenever the
+                                  # descriptor lowering changes
+                                  # (scripts/desc_batch_ab.py). 1 = per-scan
+                                  # builds inside the sequential loop.
     p_pot: Optional[int] = 128    # angular-window pair capacity per hint in
                                   # the check-2/3 cascade (None = ops/
                                   # cascade.P_POT, 512): the ascending-angle

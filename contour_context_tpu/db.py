@@ -281,8 +281,12 @@ def _search_cover2(keys_q, q_keys, searchable_n, q_levels: Tuple[int, ...],
     _, tidx = jax.lax.top_k(-tmin, k)          # ties: lower tile index first
     cols = (tidx.astype(jnp.int32)[..., None] * T
             + jnp.arange(T, dtype=jnp.int32)).reshape(nq, A, k * T)
-    ktg = jnp.take_along_axis(ktp[:, :, None, :], cols[:, None, :, :],
-                              axis=3).astype(f32)         # (nq, D, A, k*T)
+    # vmapped fancy-index gather: operand stays (D, NAp) per level — a
+    # take_along_axis over broadcast operands materializes an (nq, D, A,
+    # NAp) copy (~2 GB at 131k scans; measured 5.1 ms vs cover's 2.8 on
+    # chip, 2026-08-20) and defeats the whole point of this lowering
+    ktg = jax.vmap(lambda kt_l, cols_l: kt_l[:, cols_l])(
+        ktp, cols).astype(f32)                            # (nq, D, A, k*T)
     d2g = jnp.zeros((nq, A, k * T), f32)
     for d in range(D):
         diff = ktg[:, d] - q_f[:, :, d][:, :, None]
@@ -480,30 +484,34 @@ def _tab_from(desc_like, gidx=None):
     )
 
 
+def _anchor12(g):
+    """Anchor stat channels (cnt, eig, h, comr) of packed tab12 rows."""
+    return dict(cnt=g[..., 0],
+                eig=jnp.stack([g[..., 1], g[..., 2]], axis=-1),
+                h=g[..., 3], comr=g[..., 4])
+
+
 def _check1_impl(store: ScanDesc, query: ScanDesc, gidx, level, seq_src,
                  seq_tgt, hint_valid, cont_sim):
     """Check 1 (anchor ContourView::checkSim, contour.h:278-329) for every
     hint: the prefilter of the chunked cascade (config.check1_prefilter).
-    Gathers only the 4 anchor stat channels per side — ~100x cheaper per
-    hint than the full cascade's constellation work."""
+    Reads the anchor stat channels from the packed tab12 rows — ONE store
+    gather per hint instead of four (bit-identical values: tab12 channels
+    0-4 are pure copies of cnt/eig_vals/vol3_mean/com_r at the anchor's
+    (level, seq); q_levels are validated to lie in DIST_BIN_LAYERS and
+    anchor seqs < A=6 < J=10, so the slice always covers them)."""
     from contour_context_tpu.ops.cascade import check_sim_batched
 
+    H = gidx.shape[0]
     gi = jnp.where(hint_valid, gidx, 0)
-    lvl = jnp.clip(level, 0, store.cnt.shape[1] - 1)
-    ss = jnp.clip(seq_src, 0, store.cnt.shape[2] - 1)
-    st = jnp.clip(seq_tgt, 0, query.cnt.shape[1] - 1)
-
-    def at_src(a):
-        return a[gi, lvl, ss]
-
-    def at_tgt(a):
-        return a[lvl, st]
-
+    li = jnp.clip(level - 1, 0, store.tab12.shape[1] - 1)
+    js = jnp.clip(seq_src, 0, store.tab12.shape[2] - 1)
+    jt = jnp.clip(seq_tgt, 0, query.tab12.shape[1] - 1)
+    s = _anchor12(store.tab12[gi][jnp.arange(H), li, js])
+    t = _anchor12(query.tab12[li, jt])
     return hint_valid & check_sim_batched(
-        at_src(store.cnt).astype(jnp.float32), at_src(store.eig_vals),
-        at_src(store.vol3_mean), at_src(store.com_r),
-        at_tgt(query.cnt).astype(jnp.float32), at_tgt(query.eig_vals),
-        at_tgt(query.vol3_mean), at_tgt(query.com_r), cont_sim)
+        s["cnt"], s["eig"], s["h"], s["comr"],
+        t["cnt"], t["eig"], t["h"], t["comr"], cont_sim)
 
 
 def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
@@ -513,9 +521,9 @@ def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
     H = gidx.shape[0]
     hv = hint_valid
     gi = jnp.where(hv, gidx, 0)
-    lvl = jnp.clip(level, 0, store.cnt.shape[1] - 1)
-    ss = jnp.clip(seq_src, 0, store.cnt.shape[2] - 1)
-    st = jnp.clip(seq_tgt, 0, query.cnt.shape[1] - 1)
+    lvl = jnp.clip(level, 0, store.nei_valid.shape[1] - 1)
+    ss = jnp.clip(seq_src, 0, store.nei_valid.shape[2] - 1)
+    st = jnp.clip(seq_tgt, 0, query.nei_valid.shape[1] - 1)
 
     def at_src(a):
         return a[gi, lvl, ss]
@@ -523,12 +531,6 @@ def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
     def at_tgt(a):
         return a[lvl, st]
 
-    src_anchor = dict(cnt=at_src(store.cnt).astype(jnp.float32),
-                      eig=at_src(store.eig_vals), h=at_src(store.vol3_mean),
-                      comr=at_src(store.com_r))
-    tgt_anchor = dict(cnt=at_tgt(query.cnt).astype(jnp.float32),
-                      eig=at_tgt(query.eig_vals), h=at_tgt(query.vol3_mean),
-                      comr=at_tgt(query.com_r))
     src_nei = dict(valid=at_src(store.nei_valid), level=at_src(store.nei_level),
                    seq=at_src(store.nei_seq), bit=at_src(store.nei_bit),
                    theta=at_src(store.nei_theta))
@@ -540,6 +542,14 @@ def _gather_and_cascade_impl(store: ScanDesc, query: ScanDesc,
     # per-chunk pack (the dominant per-chunk cost in the 2026-08-20 on-chip
     # attribution, scripts/cascade_split_bench.py)
     src_tab12 = store.tab12[gi]
+    # the anchor stat channels (check 1) are slices of the rows just
+    # gathered — no extra store reads (cnt/eig_vals/vol3_mean/com_r stay
+    # out of the query executable entirely; tab12 channels are exact copies)
+    li = jnp.clip(level - 1, 0, src_tab12.shape[1] - 1)
+    js = jnp.clip(seq_src, 0, src_tab12.shape[2] - 1)
+    jt = jnp.clip(seq_tgt, 0, query.tab12.shape[1] - 1)
+    src_anchor = _anchor12(src_tab12[jnp.arange(H), li, js])
+    tgt_anchor = _anchor12(query.tab12[li, jt])
     return run_cascade(src_anchor, src_nei, src_tab12, tgt_anchor, tgt_nei,
                        query.tab12, hv, level, seq_src, seq_tgt,
                        thres_lb, cont_sim, p_pot)
@@ -643,14 +653,23 @@ def _cascade_chunked(store: ScanDesc, query: ScanDesc, gidx, level, seq_src,
 
 def _gather_gmm_impl(store: ScanDesc, gidx, levels: Tuple[int, ...],
                      max_k: int) -> GmmScan:
-    lv = jnp.array(levels, jnp.int32)
-    gm = store.gmm_mask[gidx][:, lv, :max_k]
+    """Candidate-side GmmScan gather: ONE flat row of the archived
+    pre-packed table (ScanDesc.gmm_pack) per candidate. Bit-identical to
+    gathering mean/manual_cov/cnt/eig_vals/gmm_mask (the pack stores pure
+    copies of exactly those slices) but reads 4 KB/candidate instead of
+    touching five multi-GB leaves — the five-leaf gather was the query's
+    store-capacity-dependent "init" cost (+2.2 ms at 131k scans, on-chip
+    attribution 2026-08-20)."""
+    G, K = len(levels), max_k
+    assert store.gmm_pack.shape[-1] == G * K * 8, (
+        "gmm_pack was built with a different GMMOptConfig "
+        f"({store.gmm_pack.shape[-1]} != {G}*{K}*8)")
+    rows = store.gmm_pack[gidx].reshape(gidx.shape[0], G, K, 8)
     return GmmScan(
-        mus=store.mean[gidx][:, lv, :max_k],
-        covs=store.manual_cov[gidx][:, lv, :max_k],
-        ws=jnp.where(gm, store.cnt[gidx][:, lv, :max_k].astype(jnp.float32),
-                     0.0),
-        majax=jnp.sqrt(store.eig_vals[gidx][:, lv, :max_k][..., 1]),
+        mus=rows[..., 0:2],
+        covs=rows[..., 2:6].reshape(gidx.shape[0], G, K, 2, 2),
+        ws=rows[..., 6],
+        majax=rows[..., 7],
         auto_corr=store.auto_corr[gidx],
     )
 
@@ -980,25 +999,28 @@ def _step_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
     return store, keys_q, ts_store, state, recs_store, recs
 
 
-DESC_BATCH = 16
+DESC_BATCH = 16     # default for ContourDBConfig.desc_batch (see config.py)
 
 
 def _build_descs_chunked(points_k, pcfg: PipelineConfig) -> ScanDesc:
-    """vmap build_descriptor over K scans in sub-batches of DESC_BATCH.
+    """vmap build_descriptor over K scans in sub-batches of
+    pcfg.db.desc_batch.
 
-    Sub-batching (a traced Python loop over ceil(K/16) vmapped calls, last
+    Sub-batching (a traced Python loop over ceil(K/B) vmapped calls, last
     chunk possibly narrower) bounds the batched component_tables membership
-    temporaries to ~0.5 GB instead of K/16 x that, while still giving every
+    temporaries to ~0.5 GB instead of K/B x that, while still giving every
     sort/scan/reduce_window a batch axis. The stacked ScanDesc output is
-    small (~39 KB/scan)."""
+    small (~39 KB/scan). The batch size is a measured lowering knob
+    (config.ContourDBConfig.desc_batch, scripts/desc_batch_ab.py)."""
     from contour_context_tpu.ops.descriptor import build_descriptor
 
     K = points_k.shape[0]
+    B = max(1, pcfg.db.desc_batch)
     build_b = jax.vmap(lambda p: build_descriptor(p, pcfg.cm, pcfg.gmm))
-    if K <= DESC_BATCH:
+    if K <= B:
         return build_b(points_k)
-    chunks = [build_b(points_k[i:i + DESC_BATCH])
-              for i in range(0, K, DESC_BATCH)]
+    chunks = [build_b(points_k[i:i + B])
+              for i in range(0, K, B)]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
 
@@ -1026,7 +1048,16 @@ def _step_chain_dyn(store: ScanDesc, keys_q, ts_store, state, recs_store,
 
     Returns (store', keys_q', ts_store', state', recs_store').
     """
-    B = min(DESC_BATCH, int(points_k.shape[0]))
+    B = min(max(1, pcfg.db.desc_batch), int(points_k.shape[0]))
+    if B == 1:
+        # per-scan builds: the chunk machinery is pure overhead at B=1
+        def tail_body1(i, carry):
+            pts = jax.lax.dynamic_index_in_dim(points_k, i, keepdims=False)
+            out = _scan_step_impl(*carry, pts, ts_k[i], pcfg)
+            return out[:5]
+        return jax.lax.fori_loop(
+            0, k, tail_body1,
+            (store, keys_q, ts_store, state, recs_store))
 
     def chunk_body(c, carry):
         store, keys_q, ts_store, state, recs_store = carry
@@ -1329,15 +1360,16 @@ def _stream_savez(path: str, scalars: dict, store: ScanDesc,
     device in row blocks of <= chunk_bytes — the save never materializes a
     whole leaf on host, and no single D2H transfer exceeds the block size.
 
-    DERIVED leaves (tab12 — recomputed unconditionally by load_chain) are
-    skipped: load_chain zero-fills missing members and rebuilds them, so
-    persisting the bytes (+1.9 KB/scan) would be dead weight in every
-    checkpoint (r4 advisor finding)."""
+    DERIVED leaves (tab12, gmm_pack — recomputed unconditionally by
+    load_chain) are skipped: load_chain zero-fills missing members and
+    rebuilds them, so persisting the bytes (~6 KB/scan) would be dead
+    weight in every checkpoint (r4 advisor finding)."""
     import zipfile
 
     from numpy.lib import format as npf
 
-    skip = {ScanDesc._fields.index("tab12")}
+    skip = {ScanDesc._fields.index("tab12"),
+            ScanDesc._fields.index("gmm_pack")}
     rows = n - since
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         import io
@@ -1718,13 +1750,16 @@ class ContourDB:
         # the search-layout copy is derived, not persisted (checkpoints stay
         # format-compatible); one transpose at load time
         db.keys_q = _keys_to_q_layout(db.store.keys)
-        # tab12 is derived from the other fields and NOT persisted (saves
-        # skip the leaf; pre-r5 files that do carry it are overwritten):
-        # recompute reproduces build_descriptor's packed values bit-exactly
-        # (tests/test_checkpoint.py::test_load_recomputes_tab12)
-        from contour_context_tpu.ops.descriptor import tab12_of
+        # tab12/gmm_pack are derived from the other fields and NOT persisted
+        # (saves skip the leaves; pre-r5 files that do carry them are
+        # overwritten): recompute reproduces build_descriptor's packed
+        # values bit-exactly (tests/test_checkpoint.py)
+        from contour_context_tpu.ops.descriptor import gmm_pack_of, tab12_of
 
-        db.store = db.store._replace(tab12=jax.vmap(tab12_of)(db.store))
+        db.store = db.store._replace(
+            tab12=jax.vmap(tab12_of)(db.store),
+            gmm_pack=jax.jit(jax.vmap(
+                lambda d: gmm_pack_of(d, cfg.gmm)))(db.store))
         ts_full = np.concatenate([np.asarray(z["ts_store"]) for z in zs])
         db.ts_store = jnp.zeros((cap,), jnp.float32).at[:n].set(ts_full)
         db.state = jnp.asarray(zs[-1]["state"], jnp.int32)

@@ -670,6 +670,36 @@ def tab12_of(desc) -> jnp.ndarray:
                       desc.ecc_feat, desc.cont_perc)
 
 
+def pack_gmm(mean, manual_cov, cnt, eig_vals, gmm_mask, gmm_cfg) -> jnp.ndarray:
+    """Pack the GMM source channels into ONE flat (G*K*8,) f32 row.
+
+    G = len(gmm_cfg.levels), K = gmm_cfg.max_gmm_ellipses; channels
+    [mu0, mu1, cov00, cov01, cov10, cov11, w(masked cnt), majax]. Pure
+    copies/casts of the per-level slices gmm_from_desc reads, so the
+    unpacked GmmScan (db._gather_gmm_impl) is bit-identical to gathering
+    the five source leaves — but the store-side lookup becomes ONE flat row
+    gather (the five-leaf gather cost +2.2 ms/query at a 131k-scan store,
+    on-chip attribution 2026-08-20)."""
+    lev = jnp.array(gmm_cfg.levels, jnp.int32)
+    K = gmm_cfg.max_gmm_ellipses
+    G = len(gmm_cfg.levels)
+    ws = jnp.where(gmm_mask[lev][:, :K],
+                   cnt[lev][:, :K].astype(jnp.float32), 0.0)
+    packed = jnp.concatenate([
+        mean[lev][:, :K],                                  # (G, K, 2)
+        manual_cov[lev][:, :K].reshape(G, K, 4),
+        ws[..., None],
+        jnp.sqrt(eig_vals[lev][:, :K][..., 1])[..., None]], axis=-1)
+    return packed.reshape(G * K * 8)
+
+
+def gmm_pack_of(desc, gmm_cfg) -> jnp.ndarray:
+    """Recompute ScanDesc.gmm_pack from a single-scan ScanDesc
+    (checkpoint migration — the leaf is derived and never persisted)."""
+    return pack_gmm(desc.mean, desc.manual_cov, desc.cnt, desc.eig_vals,
+                    desc.gmm_mask, gmm_cfg)
+
+
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
@@ -718,4 +748,6 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
                          tab["mean"], tab["eig_vals"], tab["eig_vecs"],
                          tab["vol3_mean"], tab["com_r"], tab["ecc_feat"],
                          tab["cont_perc"]),
+        gmm_pack=pack_gmm(tab["mean"], tab["manual_cov"], tab["cnt"],
+                          tab["eig_vals"], gmm_mask, gmm_cfg),
     )

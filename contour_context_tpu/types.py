@@ -57,3 +57,13 @@ class ScanDesc(NamedTuple):
     # scripts/cascade_split_bench.py 2026-08-20). load_chain recomputes it,
     # so pre-r4 checkpoints stay loadable.
     tab12: jnp.ndarray        # (4, 10, 12) f32
+    # pre-packed GMM source table over gmm_cfg.levels x max_gmm_ellipses:
+    # flat (G*K*8,) f32, channels [mu0, mu1, cov00, cov01, cov10, cov11,
+    # w(masked), majax] (ops/descriptor.pack_gmm). DERIVED; packed at build
+    # time so the query's candidate-GMM gather is ONE flat row per candidate
+    # instead of five gathers against multi-GB store leaves (mean /
+    # manual_cov / eig_vals / cnt / gmm_mask) — the "init" stage's
+    # store-capacity-dependent cost (+2.2 ms/query at 131k scans, on-chip
+    # attribution 2026-08-20). load_chain recomputes it (pre-r5 checkpoints
+    # stay loadable); save() skips it.
+    gmm_pack: jnp.ndarray     # (G*K*8,) f32

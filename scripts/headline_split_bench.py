@@ -70,6 +70,9 @@ def main():
     from contour_context_tpu.utils.io import pad_points
 
     smoke = os.environ.get("CONT2_SPLIT_SMOKE", "0") == "1"
+    # CONT2_SPLIT_STD=0 skips the headline + small-store stage split
+    # (rerun only the bigdb phase after a partial session)
+    std = os.environ.get("CONT2_SPLIT_STD", "1") == "1"
     cfg = PipelineConfig(
         cm=ContourManagerConfig(max_points=16384 if smoke else 131072))
     rng = np.random.default_rng(0)
@@ -140,7 +143,7 @@ def main():
 
     # ---- in-session headline: t(K_SMALL)/t(K_FILL) dyn chains differenced --
     headline_ms = None
-    if not smoke:
+    if not smoke and std:
         staged_k = {k: db.stage_chain_k(k) for k in (K_SMALL, K_FILL)}
         # interleaved best-of-HEAD_REPS, bench.py-style: post-switch fetches
         # carry ~0.3-1.5 s of one-off noise per call, same order as the
@@ -212,7 +215,8 @@ def main():
         p, _ = jax.lax.scan(body, pts, None, length=n_iter)
         return p[0, 0, 0]
 
-    per_op("desc_build_vmap16", chained_build16, 1, 5, 16.0, pts16)
+    if std:
+        per_op("desc_build_vmap16", chained_build16, 1, 5, 16.0, pts16)
 
     # unbatched single-scan build for comparison (the r3-recorded form)
     @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -223,7 +227,8 @@ def main():
         p, _ = jax.lax.scan(body, pts, None, length=n_iter)
         return p[0, 0]
 
-    per_op("desc_build_single", chained_build1, 2, 10, 1.0, pts16[0])
+    if std:
+        per_op("desc_build_single", chained_build1, 2, 10, 1.0, pts16[0])
 
     # ---- partial query depths at headline hint density ---------------------
     # each chain iteration queries descs16[i % 16] (fresh scan each step, so
@@ -284,7 +289,7 @@ def main():
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
     prev = 0.0
-    for depth in DEPTHS:
+    for depth in (DEPTHS if std else ()):
         def f(descs, n_iter, d=depth):
             return chained_depth(descs, n_iter, d)
         ms = per_op(f"query_depth_{depth}", f, 2, 18, 1.0, descs16)
@@ -310,7 +315,8 @@ def main():
         return st2[1] + ts2[0]
 
     q0 = jax.tree.map(lambda a: a[0], descs16)
-    per_op("append_window", chained_append, 2, 18, 1.0, q0, state)
+    if std:
+        per_op("append_window", chained_append, 2, 18, 1.0, q0, state)
 
     # hint-density audit of the 16 query descs (matches the headline epochs?)
     recs = np.asarray(_device_fetch(db.recs_store[:db.n]))
@@ -362,9 +368,10 @@ def main():
         pool = jnp.sum(close, axis=(1, 2)).astype(jnp.int32)
         return jnp.where(pass1, pool, -1)
 
-    pools = np.concatenate([
+    pools = (np.concatenate([
         np.asarray(_device_fetch(pool_sizes(
             jax.tree.map(lambda a: a[i], descs16)))) for i in range(16)])
+        if std else np.zeros(0, np.int32))
     pools = pools[pools >= 0]
     pool_stats = None
     if pools.size:
@@ -412,24 +419,28 @@ def main():
                 lambda a: a[4],
                 build16(devpad(jax.device_put(clouds_fill[1][16:32])))),
         }
-        full_rec = jax.jit(lambda q: _query_step_impl(
-            store_b, q, searchable_b, cfg, keys_q_b))
+        # store/keys ride as EXPLICIT jit args: closing over the 4.8 GB
+        # store captures it as lowering constants, which ships gigabytes to
+        # the remote compiler and wedges it (observed 2026-08-20)
+        full_rec = jax.jit(lambda s, kq, q: _query_step_impl(
+            s, q, searchable_b, cfg, kq))
 
-        @functools.partial(jax.jit, static_argnames=("depth", "n_iter",
-                                                     "bf16"))
-        def chained_one(q, n_iter, depth, bf16=False):
-            kq = kq_bf16 if bf16 else keys_q_b
-
+        @functools.partial(jax.jit, static_argnames=("depth", "n_iter"))
+        def chained_one_impl(s, kq, q, n_iter, depth):
             def body(acc, _):
                 one = 1.0 + 1e-30 * acc
                 qq = jax.tree.map(
                     lambda a: a * one.astype(a.dtype)
                     if jnp.issubdtype(a.dtype, jnp.floating) else a, q)
-                return query_depth(qq, depth, store_b, kq,
+                return query_depth(qq, depth, s, kq,
                                    searchable_b).astype(jnp.float32), None
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                   length=n_iter)
             return acc
+
+        def chained_one(q, n_iter, depth, bf16=False):
+            return chained_one_impl(store_b, kq_bf16 if bf16 else keys_q_b,
+                                    q, n_iter, depth)
 
         kb_small, kb_big = (1, 3) if smoke else (2, 26)
         for pname, plan in (
@@ -439,7 +450,7 @@ def main():
                 ("dup", ("search", "hints", "check1", "cascade", "merge",
                          "init", "full"))):
             q = probes[pname]
-            rec = np.asarray(_device_fetch(full_rec(q)))
+            rec = np.asarray(_device_fetch(full_rec(store_b, keys_q_b, q)))
             big_out[f"{n_db}_{pname}_funnel"] = {
                 "n_hints": int(rec[6]), "aft1": int(rec[7]),
                 "aft2": int(rec[8]), "aft3": int(rec[9])}
@@ -472,12 +483,12 @@ def main():
         gc.collect()
 
     total = (split["desc_build_vmap16"] + split["query_depth_full"]
-             + split["append_window"])
+             + split["append_window"]) if std else None
     out = {
         "metric": "headline stage split (shipping chain config, ms/scan)",
         "headline_in_session_ms": (round(headline_ms, 3)
                                    if headline_ms is not None else None),
-        "split_sum_ms": round(total, 3),
+        "split_sum_ms": round(total, 3) if total is not None else None,
         "split": split,
         "store_scans": int(n_fill),
         "hints_per_scan_epoch": (
