@@ -142,13 +142,12 @@ def main():
     world = make_world(1, n_structs=300, extent=400.0)
 
     K_FILL = 132     # warm-up scans, also the big timing chain length
-    # K_SMALL must equal K_FILL mod DESC_BATCH (both = 4 mod 16): the chain
-    # executable builds descriptors in vmapped 16-scan chunks plus a per-scan
-    # tail, so only residue-matched lengths leave IDENTICAL tail work in both
-    # chains — the difference is then exactly (K_FILL-K_SMALL) batched
-    # steady-state scans. The r3e/r3f runs used K_SMALL=12 (0 chunks, 12-scan
-    # unbatched tail), which flattered the slope by (8/120)*(cu-cb) ~ 0.16 ms.
-    K_SMALL = 20     # small timing chain length (1 chunk + 4 tail)
+    # K_SMALL must equal K_FILL mod cfg.db.desc_batch so both chains leave
+    # identical vmap-chunk tail work (the r3 flattered-slope bug). 20 and
+    # 132 are residue-matched for every power-of-two batch <= 16 (4 mod 16,
+    # 4 mod 8, 0 mod 4/2/1), including the shipping desc_batch=1 (where
+    # every length is trivially matched).
+    K_SMALL = 20     # small timing chain length
     N_ENQ = 60       # enqueue-side legacy epoch length
     REPS = 3         # timing repetitions per chain length
 
@@ -691,8 +690,9 @@ def main():
                 lambda a: jnp.tile(a[:n_have],
                                    (reps,) + (1,) * (a.ndim - 1))[:n_db],
                 db.store)
-            from contour_context_tpu.db import _keys_to_q_layout
-            big.keys_q = jax.jit(_keys_to_q_layout)(big.store.keys)
+            from contour_context_tpu.db import _keys_to_q_layout, _kq_dtype
+            big.keys_q = jax.jit(functools.partial(
+                _keys_to_q_layout, dtype=_kq_dtype(cfg)))(big.store.keys)
             big.ts_store = jnp.arange(n_db, dtype=jnp.float32)
             big.state = jnp.asarray([n_db, n_db - 32], jnp.int32)
             big.n = n_db

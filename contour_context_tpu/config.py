@@ -75,9 +75,19 @@ class ContourManagerConfig:
                                # (KITTI-style scenes occupy ~2-6k of 22.5k cells)
     use_pallas_ring: bool = False  # Pallas ring-key kernel (ops/pallas_kernels.py);
                                    # the XLA default is equally fast at 150x150
-    keys_bf16: bool = False    # store retrieval keys bfloat16: halves the HBM
-                               # traffic of city-scale search; ranking-only
-                               # rounding, cascade re-verifies survivors
+    keys_bf16: bool = True     # keep the DB's SEARCH-LAYOUT key copy
+                               # (ContourDB.keys_q) bfloat16: halves the HBM
+                               # traffic of city-scale search. The archived
+                               # ScanDesc.keys stay exact f32 (oracle +
+                               # checkpoint chain unaffected); only key-hit
+                               # RANKING near the distance bound rounds, and
+                               # the cascade re-verifies every survivor
+                               # exactly. On-chip 131k-scan search stage
+                               # (headline_split_bench bigdb, 2026-08-20):
+                               # cover2+bf16 1.43-2.04 ms vs cover+f32
+                               # 2.65-2.77 ms per query. Default ON with
+                               # topk_strategy="cover2" (the pair measured
+                               # together; cover2 at f32 is SLOWER — 5.1-5.6)
     cc_flush: str = "hillis"   # segmented run-flush lowering in cc_labels:
                                # "hillis" = Hillis-Steele doubling shift+max
                                # (2 ops x log2(n) steps per direction) +
@@ -207,14 +217,20 @@ class ContourDBConfig:
                                   # overflow_cand counts drops — 64 keeps even
                                   # 14-lap self-similar loops mostly unclipped)
     dynamic_thres: bool = False   # DYNAMIC_THRES compile flag (CMakeLists.txt:19, contour_db.h:439-458)
-    topk_strategy: str = "cover"  # exact city-scale min-k reduction: "cover"
-                                  # (tile-min cover: stage 1 is a pure
-                                  # reduce) or "block" (two-stage
-                                  # per-4096-block min-k). Both element-exact
-                                  # vs lax.top_k; measured on-chip 2026-08-18
-                                  # at 131k scans: cover 11.8 ms vs block
-                                  # 17.3 ms/query (pre-layout-fix numbers,
-                                  # db._topk_min / PARITY.md)
+    topk_strategy: str = "cover2"  # exact city-scale min-k reduction:
+                                  # "cover2" (fused tile-min + key-column
+                                  # re-gather, never materializes the
+                                  # distance matrix — db._search_cover2),
+                                  # "cover" (tile-min cover over the
+                                  # materialized matrix) or "block"
+                                  # (two-stage per-4096-block min-k). All
+                                  # element-exact vs lax.top_k incl. tie
+                                  # order. On-chip per 131k-scan query
+                                  # (2026-08-20, headline_split_bench
+                                  # bigdb): cover2+bf16 keys_q 1.43-2.04 ms
+                                  # vs cover+f32 2.65-2.77; NOTE cover2
+                                  # with F32 keys_q measured SLOWER
+                                  # (5.1-5.6) — pair cover2 with keys_bf16
     cascade_chunk: int = 128      # check-cascade chunk width W: the cascade
                                   # compiles ONCE at width W and runs over
                                   # ceil(n_valid/W) chunks (result-identical
@@ -236,14 +252,18 @@ class ContourDBConfig:
                                   # count drops from ceil(n_valid/W) to
                                   # ceil(aft1/W). Only active when the
                                   # cascade actually runs chunked.
-    desc_batch: int = 16          # chain lowering: descriptor builds inside
+    desc_batch: int = 1           # chain lowering: descriptor builds inside
                                   # step_chain/_dyn are vmapped in sub-batches
-                                  # of this many scans (db._build_descs_chunked).
-                                  # 16 won on-chip in r3 when the CC stage was
-                                  # op-count-bound; re-A/B'd whenever the
-                                  # descriptor lowering changes
-                                  # (scripts/desc_batch_ab.py). 1 = per-scan
-                                  # builds inside the sequential loop.
+                                  # of this many scans (db._build_descs_chunked);
+                                  # 1 = per-scan builds inside the sequential
+                                  # loop (no chunk machinery). 16 won in r3
+                                  # when the CC stage was op-count-bound; the
+                                  # post-hillis lowering flipped it — full
+                                  # dyn chain on-chip 2026-08-20
+                                  # (scripts/desc_batch_ab.py, identical
+                                  # scans): B=1 4.203 ms/scan vs B=16 4.828,
+                                  # B=8 4.928, B=4 5.837. Re-A/B whenever
+                                  # the descriptor lowering changes.
     p_pot: Optional[int] = 128    # angular-window pair capacity per hint in
                                   # the check-2/3 cascade (None = ops/
                                   # cascade.P_POT, 512): the ascending-angle

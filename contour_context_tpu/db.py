@@ -80,7 +80,14 @@ def _device_fetch(x):
 # device helpers
 # ---------------------------------------------------------------------------
 
-def _keys_to_q_layout(keys):
+def _kq_dtype(cfg: PipelineConfig):
+    """dtype of the maintained search-layout key copy: bfloat16 when
+    cfg.cm.keys_bf16 (halves the city-scale search's HBM read; archived
+    ScanDesc.keys stay exact f32 — see the config.py knob docs)."""
+    return jnp.bfloat16 if cfg.cm.keys_bf16 else jnp.float32
+
+
+def _keys_to_q_layout(keys, dtype=None):
     """(N, L, A, D) scan-major keys -> (L, D, N*A) search-layout copy.
 
     The search wants the row axis MINOR (lanes): with rows minor, the key
@@ -92,10 +99,12 @@ def _keys_to_q_layout(keys):
     the (L, D, capacity*A) copy INCREMENTALLY at append time (keys_q) and
     this helper exists for (re)derivation at load/merge time and for the
     compat wrappers that tests drive with scan-major keys. Values are pure
-    copies: the maintained copy is bit-identical to the derived one.
+    copies (or a single rounding cast when `dtype` narrows): the maintained
+    copy is bit-identical to the derived one.
     """
     N, L, A, D = keys.shape
-    return keys.transpose(1, 3, 0, 2).reshape(L, D, N * A)
+    out = keys.transpose(1, 3, 0, 2).reshape(L, D, N * A)
+    return out if dtype is None else out.astype(dtype)
 
 
 def _append_impl(store: ScanDesc, keys_q, ts_store, state, desc: ScanDesc,
@@ -1600,7 +1609,7 @@ class ContourDB:
             lambda x: jnp.zeros((self.capacity,) + x.shape, x.dtype), desc)
         L, A, D = desc.keys.shape
         self.keys_q = jnp.zeros((L, D, self.capacity * A),
-                                desc.keys.dtype)
+                                _kq_dtype(self.cfg))
         self.ts_store = jnp.zeros((self.capacity,), jnp.float32)
         self.state = jnp.zeros((2,), jnp.int32)
 
@@ -1748,8 +1757,8 @@ class ContourDB:
             .at[:n].set(a.astype(cur.dtype)),
             host_store, current)
         # the search-layout copy is derived, not persisted (checkpoints stay
-        # format-compatible); one transpose at load time
-        db.keys_q = _keys_to_q_layout(db.store.keys)
+        # format-compatible); one transpose (+ optional bf16 cast) at load
+        db.keys_q = _keys_to_q_layout(db.store.keys, _kq_dtype(cfg))
         # tab12/gmm_pack are derived from the other fields and NOT persisted
         # (saves skip the leaves; pre-r5 files that do carry them are
         # overwritten): recompute reproduces build_descriptor's packed
@@ -1817,7 +1826,8 @@ class ContourDB:
         out.store = jax.tree.map(
             lambda z, *xs: z.at[:n_total].set(jnp.concatenate(xs, axis=0)),
             out.store, *parts)
-        out.keys_q = _keys_to_q_layout(out.store.keys)
+        out.keys_q = _keys_to_q_layout(out.store.keys,
+                                       _kq_dtype(out.cfg))
         out.ts_store = out.ts_store.at[:n_total].set(
             jnp.arange(n_total, dtype=jnp.float32))
         out.state = jnp.asarray([n_total, n_total], jnp.int32)
@@ -2070,11 +2080,16 @@ class ContourDB:
             return [], 0
         max_dist_sq = min(float(max_dist_sq), MAX_DIST_SQ)
         # state[1] is the device-resident searchable prefix: pass it directly
-        # (one fetch total; an empty window just returns zero hits)
+        # (one fetch total; an empty window just returns zero hits).
+        # Radius membership is EXACT (reference layerRangeSearch semantics):
+        # under keys_bf16 the maintained copy rounds boundary distances, so
+        # this host-facing, once-in-a-while API derives the f32 layout
+        # in-graph instead of reusing the bf16 streaming copy.
+        kq = self.keys_q if self.keys_q.dtype == jnp.float32 else None
         packed = np.asarray(_device_fetch(_range_search(
             self.store.keys, query.keys, self.state[1],
             jnp.float32(max_dist_sq), tuple(self.cfg.db.q_levels), int(cap),
-            self.cfg.db.topk_strategy, keys_q=self.keys_q)))
+            self.cfg.db.topk_strategy, keys_q=kq)))
         n_total = (int(packed[0, 0]) << 20) + int(packed[0, 1])
         hits = [(int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
                 for r in packed[1:] if r[4] >= 0.0]
@@ -2093,9 +2108,13 @@ class ContourDB:
 
         q_levels = tuple(cfg.db.q_levels)
         nnk = cfg.db.nnk
-        gidx, seq_src, dist, valid = _search(
-            self.store.keys, query.keys, jnp.int32(self.searchable_n),
-            q_levels, nnk)
+        # search through the SAME maintained keys_q copy (incl. its bf16
+        # dtype) as the fused device path, so host-vs-fused parity holds by
+        # construction under keys_bf16
+        gidx, seq_src, dist, valid = jax.jit(
+            _search_impl, static_argnames=("q_levels", "nnk", "strategy"))(
+            self.keys_q, query.keys, jnp.int32(self.searchable_n),
+            q_levels, nnk, cfg.db.topk_strategy)
         if profiler:
             profiler.record("KNN search")
 

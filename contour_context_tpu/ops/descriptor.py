@@ -725,12 +725,11 @@ def build_descriptor(points: jnp.ndarray, cfg: ContourManagerConfig,
     tab = component_tables(labels, masks.reshape(cfg.n_levels, -1),
                            bev, rowf, colf, cfg)
     keys, anch_valid, pix_overflow = make_keys(tab, bev, rowf, colf, cfg)
-    if cfg.keys_bf16:
-        # halves the HBM traffic of the city-scale key search (the measured
-        # bottleneck at 100k+ archived scans); the ~0.4% relative rounding
-        # only perturbs the candidate RANKING — every survivor is re-verified
-        # exactly by the check cascade downstream
-        keys = keys.astype(jnp.bfloat16)
+    # NOTE: cfg.keys_bf16 no longer rounds the ARCHIVED keys (r5): the
+    # oracle/checkpoint chain keeps exact f32 keys here; only the DB's
+    # maintained search-layout copy (ContourDB.keys_q) is stored bfloat16
+    # when the knob is on — the search is the only reader that scans all
+    # N*A keys per query, so it alone pays the HBM traffic the knob halves.
     bci = make_bcis(tab, anch_valid, cfg)
     gmm_mask, auto_corr, gmm_overflow = gmm_summary(tab, gmm_cfg)
     return ScanDesc(

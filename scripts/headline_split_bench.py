@@ -405,7 +405,8 @@ def main():
             lambda a: jnp.tile(a[:n_fill],
                                (reps_t,) + (1,) * (a.ndim - 1))[:n_db],
             db.store)
-        keys_q_b = jax.jit(_keys_to_q_layout)(store_b.keys)
+        keys_q_b = jax.jit(functools.partial(
+            _keys_to_q_layout, dtype=db.keys_q.dtype))(store_b.keys)
         searchable_b = jnp.int32(n_db - 32)
         kq_bf16 = keys_q_b.astype(jnp.bfloat16)
 

@@ -135,12 +135,13 @@ def test_db_grow():
 
 def _assert_keys_q_invariant(db):
     """The maintained search-layout copy must stay BIT-identical to the
-    layout derived from the scan-major store (db._keys_to_q_layout) — the
+    layout derived from the scan-major store (db._keys_to_q_layout, at the
+    maintained copy's dtype — bf16 under the keys_bf16 default) — the
     invariant every search path relies on."""
     from contour_context_tpu.db import _keys_to_q_layout
 
     got = np.asarray(db.keys_q)
-    want = np.asarray(_keys_to_q_layout(db.store.keys))
+    want = np.asarray(_keys_to_q_layout(db.store.keys, db.keys_q.dtype))
     np.testing.assert_array_equal(got, want)
 
 
@@ -432,19 +433,20 @@ def test_range_search_big_store_two_stage():
 
 @pytest.mark.slow
 def test_bf16_keys_search_parity():
-    """keys_bf16 stores retrieval keys bfloat16 (half the search HBM
-    traffic); ranking perturbation is sub-percent, so the same loop is
-    found with a near-identical score and pose."""
-    from dataclasses import replace
-
+    """keys_bf16 keeps the maintained SEARCH-LAYOUT key copy (db.keys_q)
+    bfloat16 (half the search HBM traffic) while the archived ScanDesc.keys
+    stay exact f32; ranking perturbation is sub-percent, so the same loop
+    is found with a near-identical score and pose."""
     import jax.numpy as jnp
 
-    cfg16 = PipelineConfig(cm=ContourManagerConfig(max_points=16384,
-                                                   keys_bf16=True))
+    from contour_context_tpu.config import ContourManagerConfig as CMC
+
+    cfg16 = PipelineConfig(cm=CMC(max_points=16384, keys_bf16=True))
+    cfg32 = PipelineConfig(cm=CMC(max_points=16384, keys_bf16=False))
     world = make_world(11, n_structs=220, extent=160.0)
 
     results = {}
-    for name, cfg in (("f32", CFG), ("bf16", cfg16)):
+    for name, cfg in (("f32", cfg32), ("bf16", cfg16)):
         db = ContourDB(cfg, capacity=8)
         for i in range(6):
             pts = render_scan(world, (10.0 * i, 0.0, 0.0), seed=500 + i)
@@ -452,8 +454,10 @@ def test_bf16_keys_search_parity():
                                  cfg.cm, cfg.gmm)
             db.add_scan(d, i, 6.0 * i)
             db.push_and_balance(6.0 * i)
-        if name == "bf16":
-            assert db.store.keys.dtype == jnp.bfloat16
+        # archived keys stay f32 either way; only the search copy narrows
+        assert db.store.keys.dtype == jnp.float32
+        assert db.keys_q.dtype == (jnp.bfloat16 if name == "bf16"
+                                   else jnp.float32)
         q = build_descriptor(
             pad_points(render_scan(world, (10.5, 0.8, 0.2), seed=900),
                        cfg.cm.max_points), cfg.cm, cfg.gmm)
