@@ -207,10 +207,22 @@ class ContourDBConfig:
     cont_sim: ContourSimThresConfig = field(default_factory=ContourSimThresConfig)
     tb: TreeBucketConfig = field(default_factory=TreeBucketConfig)
     # TPU capacity knobs
-    max_check_cands: int = 512    # candidate hints compacted into the batched check cascade
-                                  # (KITTI averages ~18 hits/scan; dense/self-similar scenes
-                                  # can spike into the hundreds — the cost is flat on TPU and
-                                  # overflow is counted in ContourDB.counters)
+    max_check_cands: int = 256    # candidate hints compacted into the batched
+                                  # check cascade (KITTI averages ~18 hits/scan;
+                                  # dense self-similar scenes spike into the
+                                  # hundreds; overflow keeps the nearest-by-key-
+                                  # distance hits and is counted in
+                                  # ContourDB.counters). Default from the
+                                  # on-chip cap-vs-recall sweep at ~35x-KITTI
+                                  # density (scripts/cap_recall_bench.py,
+                                  # 2026-08-20, identical epochs): found/ms =
+                                  # 282/3.05 (cap 128), 284/3.42 (256),
+                                  # 284/3.90 (512), 284/4.16 (1024, zero
+                                  # overflow) — recall saturates at 256 with
+                                  # IDENTICAL missed sets above it (the
+                                  # residual misses are world geometry, not
+                                  # cap truncation), so 256 buys 512's recall
+                                  # 0.48 ms/scan cheaper.
     max_pass_hints: int = 128     # cascade survivors fed to the on-device proposal merge
     max_cand_poses: int = 64      # candidate pose rows in the on-device
                                   # CandidateManager (the reference is unbounded;

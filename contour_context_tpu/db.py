@@ -995,7 +995,7 @@ def _step_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
 
     Returns (store', keys_q', ts_store', state', recs_store', records (K, W)).
     """
-    descs = _build_descs_chunked(points_k, pcfg)
+    descs = _build_descs_chunked(points_k, pcfg, batch=DESC_BATCH)
 
     def body(carry, x):
         desc, t = x
@@ -1011,7 +1011,8 @@ def _step_chain(store: ScanDesc, keys_q, ts_store, state, recs_store,
 DESC_BATCH = 16     # default for ContourDBConfig.desc_batch (see config.py)
 
 
-def _build_descs_chunked(points_k, pcfg: PipelineConfig) -> ScanDesc:
+def _build_descs_chunked(points_k, pcfg: PipelineConfig,
+                         batch=None) -> ScanDesc:
     """vmap build_descriptor over K scans in sub-batches of
     pcfg.db.desc_batch.
 
@@ -1020,11 +1021,17 @@ def _build_descs_chunked(points_k, pcfg: PipelineConfig) -> ScanDesc:
     temporaries to ~0.5 GB instead of K/B x that, while still giving every
     sort/scan/reduce_window a batch axis. The stacked ScanDesc output is
     small (~39 KB/scan). The batch size is a measured lowering knob
-    (config.ContourDBConfig.desc_batch, scripts/desc_batch_ab.py)."""
+    (config.ContourDBConfig.desc_batch, scripts/desc_batch_ab.py) — but it
+    is CONTEXT-dependent: desc_batch=1 wins inside the per-scan sequential
+    dyn chain (builds fuse into the step), while BATCHED contexts (block
+    steps, the legacy scan lowering, staging) must keep vmapped sub-batches
+    — 16 sequential single builds + a 25-leaf tree concat inside a block
+    chain measured 11.9 ms/scan vs 6.1 vmapped (bench block16_full,
+    2026-08-20). Such callers pass `batch=DESC_BATCH` explicitly."""
     from contour_context_tpu.ops.descriptor import build_descriptor
 
     K = points_k.shape[0]
-    B = max(1, pcfg.db.desc_batch)
+    B = max(1, pcfg.db.desc_batch if batch is None else batch)
     build_b = jax.vmap(lambda p: build_descriptor(p, pcfg.cm, pcfg.gmm))
     if K <= B:
         return build_b(points_k)
@@ -1212,7 +1219,7 @@ def _block_chain_pts(store: ScanDesc, keys_q, ts_store, state, recs_store,
     comparable to it). Returns (..., records (NB, B, W))."""
     def body(carry, x):
         pts_b, ts_b = x
-        descs = _build_descs_chunked(pts_b, pcfg)
+        descs = _build_descs_chunked(pts_b, pcfg, batch=DESC_BATCH)
         out = _process_block_impl(*carry, descs, ts_b, pcfg)
         return out[:5], out[5]
 

@@ -49,8 +49,11 @@ def sharded_search(db_keys, q_keys, searchable_n,
     non-divisible N is zero-padded in-graph to the next multiple (zero key
     rows are already the invalid sentinel — row_valid masks them, and any
     padded row that sneaks into a shard's top-k carries MAX_DIST_SQ and
-    fails the validity bound). Exercised by dryrun_multichip's uneven case
-    (N = 2*mesh+2).
+    fails the validity bound). NOTE: this in-graph pad serves inputs that
+    arrive replicated/uncommitted; an input ALREADY device_put with a
+    P("data") sharding must be pre-padded at placement time
+    (pad_rows_to_mesh) — jax rejects uneven row-sharded device_puts.
+    Exercised by dryrun_multichip's uneven case (N = 2*mesh+2).
     """
     lv = jnp.array(q_levels, jnp.int32)
     A = db_keys.shape[2]
@@ -137,14 +140,34 @@ def dp_build_descriptors(points_batch, cfg: ContourManagerConfig,
     return batch_build(points_batch, cfg, gmm_cfg)
 
 
+def pad_rows_to_mesh(x, mesh: Mesh):
+    """Zero-pad dim 0 to a multiple of the mesh size.
+
+    jax.device_put with a row-sharded NamedSharding REQUIRES divisibility
+    (verified on jaxlib 0.9.0: uneven global dim 0 is a ValueError), so
+    uneven capacities are padded at the sharding boundary. Zero rows are
+    the store's invalid sentinel everywhere (zero keys fail row_valid; rows
+    >= searchable_n are never searched), so results are unchanged."""
+    n_dev = mesh.devices.size
+    pad = (-x.shape[0]) % n_dev
+    if pad:
+        x = jnp.concatenate(
+            [jnp.asarray(x),
+             jnp.zeros((pad,) + tuple(x.shape[1:]), x.dtype)])
+    return x
+
+
 def shard_store(store, mesh: Mesh):
     """Lay the DB store's scan axis out over the mesh's "data" axis.
 
     The capacity axis (leading) of every ScanDesc buffer is row-sharded; the
     brute-force key search then scans only local rows per device and GSPMD
-    inserts the top-k combine over ICI."""
+    inserts the top-k combine over ICI. Capacities not divisible by the
+    mesh are zero-padded (pad_rows_to_mesh) — padded rows are invalid
+    sentinels and never searchable."""
     sh = NamedSharding(mesh, P("data"))
-    return jax.tree.map(lambda a: jax.device_put(a, sh), store)
+    return jax.tree.map(
+        lambda a: jax.device_put(pad_rows_to_mesh(a, mesh), sh), store)
 
 
 def sharded_query_step(store, query, state, pcfg: PipelineConfig, mesh: Mesh):
