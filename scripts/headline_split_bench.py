@@ -215,6 +215,10 @@ def main():
         p, _ = jax.lax.scan(body, pts, None, length=n_iter)
         return p[0, 0, 0]
 
+    # NOTE: with the shipping desc_batch=1 this row measures the DEGENERATE
+    # 16-singles-in-one-jit form (16 unrolled builds + a 25-leaf tree
+    # concat), NOT the shipping chain build — desc_build_single below is the
+    # shipping per-scan form; desc_batch_ab.py holds the full-chain A/B
     if std:
         per_op("desc_build_vmap16", chained_build16, 1, 5, 16.0, pts16)
 
